@@ -1,0 +1,80 @@
+"""FK and skinning parity against reference-generated goldens (tools/make_goldens.py)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spherehand_tpu.hand.kinematics import forward_kinematics, rotation_about_axis
+from spherehand_tpu.hand.skinning import (
+    apply_random_scale,
+    inverse_orthographic,
+    lbs_keypoints,
+    lbs_mesh,
+    orthographic_project,
+)
+
+
+def test_rotation_about_axis_basics():
+    x = jnp.asarray([1.0, 0.0, 0.0])
+    r = rotation_about_axis(x, jnp.asarray(np.pi / 2))
+    expected = np.asarray([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)
+    np.testing.assert_allclose(np.asarray(r), expected, atol=1e-6)
+    # Identity at zero angle for an arbitrary axis.
+    a = jnp.asarray([0.6, 0.0, 0.8])
+    np.testing.assert_allclose(
+        np.asarray(rotation_about_axis(a, jnp.asarray(0.0))), np.eye(3), atol=1e-7
+    )
+
+
+def test_fk_rest_pose_is_identity(hand_model):
+    params = jnp.zeros((2, 26))
+    mats = forward_kinematics(hand_model, params)
+    np.testing.assert_allclose(
+        np.asarray(mats), np.tile(np.eye(4, dtype=np.float32), (2, 17, 1, 1)), atol=1e-4
+    )
+
+
+def test_fk_matches_reference_golden(hand_model, goldens):
+    g = goldens("fk")
+    mats = forward_kinematics(hand_model, jnp.asarray(g["params"]))
+    np.testing.assert_allclose(np.asarray(mats), g["transforms"], atol=2e-4, rtol=1e-5)
+
+
+def test_lbs_matches_reference_golden(hand_model, goldens):
+    g = goldens("lbs")
+    transforms = jnp.asarray(g["transforms"])
+    kp = lbs_keypoints(hand_model, transforms)
+    np.testing.assert_allclose(np.asarray(kp), g["keypoints"], atol=2e-3, rtol=1e-5)
+    mesh_pts = lbs_mesh(hand_model, transforms)
+    np.testing.assert_allclose(np.asarray(mesh_pts), g["mesh_points"], atol=5e-3, rtol=1e-4)
+
+
+def test_projection_matches_reference_golden(goldens):
+    g = goldens("lbs")
+    pts = jnp.asarray(g["mesh_points"])
+    proj = orthographic_project(pts, 640.0, jnp.asarray(g["rand_f"]))
+    np.testing.assert_allclose(np.asarray(proj), g["projected"], atol=2e-3, rtol=1e-5)
+    proj_plain = orthographic_project(pts, 640.0)
+    np.testing.assert_allclose(np.asarray(proj_plain), g["projected_plain"], atol=2e-3, rtol=1e-5)
+
+
+def test_inverse_orthographic_roundtrip():
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-140, 140, (2, 9, 3)), np.ones((2, 9, 1))], axis=-1
+        ).astype(np.float32)
+    )
+    uvd = orthographic_project(pts, 64.0)
+    back = inverse_orthographic(uvd, 64.0)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-4)
+
+
+def test_random_scale_range_and_application(hand_model):
+    transforms = forward_kinematics(hand_model, jnp.zeros((4, 26)))
+    scaled = apply_random_scale(jax.random.key(0), transforms, 0.1)
+    diag = np.asarray(scaled)[:, 0, [0, 1, 2], [0, 1, 2]]
+    assert ((diag >= 0.85 - 1e-6) & (diag <= 0.95 + 1e-6)).all()
+    # Same scale premultiplied on every bone of a batch element.
+    s = np.asarray(scaled)
+    np.testing.assert_allclose(s[:, 3, [0, 1, 2], [0, 1, 2]], diag, atol=1e-6)
