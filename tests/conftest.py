@@ -6,10 +6,19 @@ host-platform device splitting, per the framework's test strategy
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-assign: the deployment environment pre-sets JAX_PLATFORMS (e.g. to a
+# tunneled TPU plugin) and may already have imported jax from sitecustomize
+# with jax_platforms overridden in-config, so both the env var and the live
+# config must be pinned to CPU. XLA_FLAGS still applies because backends
+# initialize lazily on first use.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

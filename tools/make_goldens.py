@@ -23,16 +23,36 @@ import sys
 import numpy as np
 
 REFERENCE = os.environ.get("SPHEREHAND_REFERENCE", "/root/reference")
-OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+OUT_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests", "goldens")
+)
+# Some reference modules open asset paths relative to the reference root
+# (network/constants.py:4).
+os.chdir(REFERENCE)
 
 np.float = float  # noqa: NPY001  (reference code predates numpy 2)
 sys.path.insert(0, REFERENCE)
 
 import pickle  # noqa: E402
+import types  # noqa: E402
 
 import torch  # noqa: E402
 
 torch.manual_seed(0)
+
+# Some reference modules call .cuda() at import time (mesh/bone_length.py:33);
+# make it a no-op on this CPU-only box.
+torch.nn.Module.cuda = lambda self, *a, **k: self
+torch.Tensor.cuda = lambda self, *a, **k: self
+
+# mesh/render.py imports the compiled CUDA extension at module import time
+# (mesh/render.py:6); inject a stub so its pure-torch modules load on CPU.
+_stub_pkg = types.ModuleType("mesh.cuda_kernel")
+_stub_ext = types.ModuleType("mesh.cuda_kernel.depth_rasterization")
+_stub_ext.forward = None
+_stub_pkg.depth_rasterization = _stub_ext
+sys.modules.setdefault("mesh.cuda_kernel", _stub_pkg)
+sys.modules.setdefault("mesh.cuda_kernel.depth_rasterization", _stub_ext)
 
 
 def _load_mesh():
@@ -162,6 +182,161 @@ def golden_pose_denoiser() -> None:
     print("pose_denoiser.npz", out.shape)
 
 
+def _mesh_radii(mesh) -> list:
+    radii = []
+    for bone in mesh["bones"]:
+        for _, radius in bone.get("keypoint", []):
+            radii.append(radius)
+    return radii
+
+
+def golden_sphere_render(mesh) -> None:
+    from mesh.render import BallRender, DataToModelLoss
+
+    rng = np.random.RandomState(21)
+    centers = rng.uniform(-120, 120, size=(40, 3)).astype(np.float32)
+    centers[:, 2] = rng.uniform(10, 90, size=40)
+    radii = rng.uniform(4, 30, size=40).astype(np.float32)
+    ball = BallRender(64, 64)
+    with torch.no_grad():
+        maps = ball(torch.from_numpy(centers), torch.from_numpy(radii)).numpy()
+
+    # DataToModelLoss on a rendered multi-sphere depth map (mm units).
+    radii_41 = _mesh_radii(mesh)
+    d2m = DataToModelLoss(64, 64, radii_41)
+    joints = rng.uniform(-100, 100, size=(3, 41, 3)).astype(np.float32)
+    joints[..., 2] = rng.uniform(20, 80, size=(3, 41))
+    with torch.no_grad():
+        part = ball(
+            torch.from_numpy(joints.reshape(-1, 3)),
+            torch.tensor(radii_41).repeat(3),
+        ).view(3, 41, 64, 64)
+        dms = part.min(dim=1)[0]
+        query = rng.uniform(-100, 100, size=(3, 41, 3)).astype(np.float32)
+        loss = d2m(dms, torch.from_numpy(query))
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "sphere_render.npz"),
+        centers=centers, radii=radii, maps=maps,
+        radii_41=np.asarray(radii_41, np.float32),
+        joints=joints, dms=dms.numpy(), query=query,
+        d2m_loss=np.float32(loss.item()),
+    )
+    print("sphere_render.npz", maps.shape)
+
+
+def golden_heatmap_render(mesh) -> None:
+    from mesh.render import HeatmapRender, Hand3DHeatmapRender
+    from mesh.kinematicsTransformation import HandTransformationMat
+
+    rng = np.random.RandomState(5)
+    uvd = rng.uniform(-2, 18, size=(4, 41, 3)).astype(np.float32)
+    hm = HeatmapRender(16)
+    with torch.no_grad():
+        uv_hms, d_hms = hm(torch.from_numpy(uvd))
+
+    offset_mats = [b["offset_matrix"].astype(np.float32) for b in mesh["bones"]]
+    fk = HandTransformationMat(offset_mats)
+    h3d = Hand3DHeatmapRender(mesh["bones"], 16)
+    params = rng.uniform(-1.0, 1.0, size=(4, 26)).astype(np.float32)
+    params[:, 3:6] = rng.uniform(-20, 20, size=(4, 3))
+    rand_f = torch.from_numpy(rng.uniform(0.9, 1.1, size=(4,)).astype(np.float32))
+    with torch.no_grad():
+        mats = fk(torch.from_numpy(params))
+        h_uv, h_d, h_xyz = h3d(mats, rand_f)
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "heatmap_render.npz"),
+        uvd=uvd, uv_hms=uv_hms.numpy(), d_hms=d_hms.numpy(),
+        params=params, transforms=mats.numpy(), rand_f=rand_f.numpy(),
+        hand_uv_hms=h_uv.numpy(), hand_d_hms=h_d.numpy(), hand_xyz=h_xyz.numpy(),
+    )
+    print("heatmap_render.npz", uv_hms.shape, h_xyz.shape)
+
+
+def golden_geometric_losses(mesh) -> None:
+    from mesh.render import CollisionLoss, BoneLengthLoss
+
+    rng = np.random.RandomState(9)
+    joints = rng.uniform(-60, 60, size=(5, 41, 3)).astype(np.float32)
+    coll = CollisionLoss()
+    bone = BoneLengthLoss()
+    with torch.no_grad():
+        c = coll(torch.from_numpy(joints))
+        b = bone(torch.from_numpy(joints))
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "geometric_losses.npz"),
+        joints=joints,
+        collision=np.float32(c.item()),
+        bone_length=np.float32(b.item()),
+        bl_joint_1=bone.joint_1.numpy(),
+        bl_joint_2=bone.joint_2.numpy(),
+        bl_min_sq=bone.min_length.numpy(),
+        bl_max_sq=bone.max_length.numpy(),
+    )
+    print("geometric_losses.npz", c.item(), b.item())
+
+
+def golden_multiview(mesh) -> None:
+    from mesh.multiview_utility import MutualProjectionLoss, MultiviewConsistencyLoss
+
+    rng = np.random.RandomState(17)
+    B, V, J = 2, 3, 41
+    radii_41 = _mesh_radii(mesh)
+    joints = rng.uniform(-80, 80, size=(B, V, J, 3)).astype(np.float32)
+    joints[..., 2] = rng.uniform(20, 80, size=(B, V, J))
+    # random rotation-only camera poses (reference translations are ~0)
+    def rand_rot():
+        q = rng.normal(size=4); q /= np.linalg.norm(q)
+        w, x, y, z = q
+        return np.asarray([
+            [1-2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y)],
+            [2*(x*y+w*z), 1-2*(x*x+z*z), 2*(y*z-w*x)],
+            [2*(x*z-w*y), 2*(y*z+w*x), 1-2*(x*x+y*y)]], np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+    for b in range(B):
+        for v in range(1, V):
+            poses[b, v, :3, :3] = rand_rot()
+    inv_poses = np.linalg.inv(poses)
+    dms = rng.uniform(10, 110, size=(B, V, 64, 64)).astype(np.float32)
+    dms[dms > 95] = 100.0
+
+    mpl = MutualProjectionLoss(64, radii_41)
+    mvc = MultiviewConsistencyLoss()
+    with torch.no_grad():
+        loss_mv, proj_dms = mpl(
+            torch.from_numpy(poses), torch.from_numpy(inv_poses),
+            torch.from_numpy(joints), torch.from_numpy(dms), True)
+        loss_sv, _ = mpl(
+            torch.from_numpy(poses), torch.from_numpy(inv_poses),
+            torch.from_numpy(joints), torch.from_numpy(dms), False)
+        cons = mvc(torch.from_numpy(poses), torch.from_numpy(joints))
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "multiview.npz"),
+        joints=joints, poses=poses, inv_poses=inv_poses, dms=dms,
+        mv_loss=np.float32(loss_mv.item()), sv_loss=np.float32(loss_sv.item()),
+        consistency=np.float32(cons.item()), projected_dms=proj_dms.numpy(),
+    )
+    print("multiview.npz", loss_mv.item(), loss_sv.item(), cons.item())
+
+
+def golden_softargmax() -> None:
+    from network.util_modules import (
+        RecoverXYZCoordinateFromHeatmap, HeatmapVariance)
+
+    rng = np.random.RandomState(23)
+    uv_hms = rng.normal(0, 0.4, size=(3, 41, 16, 16)).astype(np.float32)
+    d_hms = rng.normal(0.4, 0.2, size=(3, 41, 16, 16)).astype(np.float32)
+    rec = RecoverXYZCoordinateFromHeatmap(16, 16, 0.01)
+    hv = HeatmapVariance(16, 16)
+    with torch.no_grad():
+        xyz = rec(torch.from_numpy(uv_hms), torch.from_numpy(d_hms))
+        var = hv(torch.from_numpy(uv_hms))
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "softargmax.npz"),
+        uv_hms=uv_hms, d_hms=d_hms, xyz=xyz.numpy(), variance=var.numpy(),
+    )
+    print("softargmax.npz", xyz.shape)
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     mesh = _load_mesh()
@@ -170,6 +345,11 @@ def main() -> None:
     golden_hourglass()
     golden_pose_vae()
     golden_pose_denoiser()
+    golden_sphere_render(mesh)
+    golden_heatmap_render(mesh)
+    golden_geometric_losses(mesh)
+    golden_multiview(mesh)
+    golden_softargmax()
 
 
 if __name__ == "__main__":
