@@ -1,0 +1,36 @@
+"""Hourglass CNN parity against the torch reference (random-weight golden)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spherehand_tpu.models.hourglass import HourglassNet, convert_torch_state
+
+
+def test_hourglass_matches_torch_golden(goldens):
+    g = goldens("hourglass")
+    state = {k: g[k] for k in g.files if "/" in k}
+    params = convert_torch_state(state, num_stacks=2)
+    net = HourglassNet(num_stacks=2, num_outputs=82)
+    x = jnp.asarray(g["x"])  # (3, 64, 64) single-channel depth maps
+    scores, latents = net.apply({"params": params}, x)
+    assert len(scores) == 2 and len(latents) == 2
+    # NHWC -> NCHW for comparison with the torch outputs.
+    np.testing.assert_allclose(
+        np.asarray(scores[0]).transpose(0, 3, 1, 2), g["out0"], atol=2e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores[1]).transpose(0, 3, 1, 2), g["out1"], atol=2e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(latents[0]).transpose(0, 3, 1, 2), g["latent0"], atol=2e-3, rtol=1e-3
+    )
+
+
+def test_hourglass_init_and_shapes():
+    net = HourglassNet(num_stacks=1, num_outputs=82)
+    x = jnp.zeros((2, 64, 64))
+    params = net.init(jax.random.key(0), x)
+    scores, latents = net.apply(params, x)
+    assert scores[0].shape == (2, 16, 16, 82)
+    assert latents[0].shape == (2, 4, 4, 256)
