@@ -1,0 +1,206 @@
+"""Multi-task loss assembly — the full self-supervision objective.
+
+Re-design of the reference's ``MultiTaskLoss``
+(network/create_network_and_criterion.py:147-263) as one pure function
+returning a dict of loss terms (same keys, same hardcoded weights :171-181).
+Faithfully preserved quirks:
+
+- collision/bone-length on multi-view joints index the flattened (V*J) axis
+  with 41-joint tables, so they effectively see VIEW 0 ONLY (the torch code
+  ``joints.view(B, -1, 3)[:, joint_idx]``; mesh/render.py:170-171,198-199);
+- ``is_mv`` gates both the projection variant and the consistency weight
+  (:203-229) and may be a traced bool (iteration < 1500 curriculum,
+  engine.py:361);
+- the temporal term compares consecutive batch elements with carried
+  previous-skeleton state (util_modules.py:360-381) — here the state is
+  explicit (pass ``prev_skel``/receive the new one) instead of hidden module
+  state, keeping the step function pure;
+- the domain term is computed at weight 0.0 exactly as the reference does.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from spherehand_tpu.losses.geometric import bone_length_loss, collision_loss
+from spherehand_tpu.losses.multiview import (
+    multiview_consistency_loss,
+    mutual_projection_loss,
+)
+from spherehand_tpu.models import pose_vae
+from spherehand_tpu.models.estimator import EstimatorOutput
+
+# Hardcoded weights (reference create_network_and_criterion.py:171-181).
+LOSS_WEIGHTS = {
+    "synt_hm": 1e3,
+    "synt_pt": 1e-1,
+    "mv_consistency": 1e-3,
+    "mv_projection": 1.0,
+    "temporal_smooth": 1.0,
+    "prior": 1e-2,
+    "hm_mean": 1e-2,
+    "domain": 0.0,
+    "collision": 1.0,
+    "bone_length": 1.0,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss toggles; defaults mirror run_engine.py's default-on flags."""
+
+    synthesized: bool = True
+    mv_projection: bool = True
+    mv_consistency: bool = True
+    temporal: bool = False
+    prior: bool = True
+    collision: bool = True
+    bone_length: bool = True
+
+
+def _mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((a - b) ** 2)
+
+
+def temporal_smoothness(
+    joints: jnp.ndarray, prev_skel: jnp.ndarray, has_prev: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Clamped-L2 between consecutive-frame skeletons (util_modules.py:349-381).
+
+    joints: (B, V, J, 3). ``prev_skel`` is the carried last skeleton of the
+    previous batch; ``has_prev`` a traced bool (0/1). Returns
+    (loss, new_prev_skel, new_has_prev).
+    """
+    prev = jnp.concatenate(
+        [prev_skel[None], jax.lax.stop_gradient(joints[:-1])], axis=0
+    )
+    diff = jnp.clip(joints - prev, -2500.0, 2500.0)
+    sq = diff * diff
+    mask = jnp.concatenate(
+        [has_prev[None].astype(sq.dtype), jnp.ones(sq.shape[0] - 1, sq.dtype)]
+    )
+    per_elem = sq.reshape(sq.shape[0], -1)
+    loss = jnp.sum(per_elem * mask[:, None]) / (
+        jnp.sum(mask) * per_elem.shape[1]
+    )
+    return loss, jax.lax.stop_gradient(joints[-1]), jnp.asarray(True)
+
+
+def multitask_loss(
+    cfg: LossConfig,
+    output: EstimatorOutput,
+    radii: jnp.ndarray,
+    vae_params: Any | None = None,
+    synt_target: Any | None = None,
+    real_target: dict | None = None,
+    rng: jax.Array | None = None,
+    is_mv: bool | jnp.ndarray = True,
+    prev_skel: jnp.ndarray | None = None,
+    has_prev: jnp.ndarray | None = None,
+) -> tuple[dict, list, tuple]:
+    """Assemble every enabled loss term.
+
+    synt_target: a :class:`SyntheticBatch`; real_target: dict with
+    ``real_dms`` (B, V, H, W) in mm (unscaled), ``camera_poses``,
+    ``inv_camera_poses``. Returns (terms, projected_dms_per_stack,
+    (new_prev_skel, new_has_prev)).
+    """
+    terms: dict[str, jnp.ndarray] = {}
+    has_real = real_target is not None and len(output.real_xyz) > 0
+    has_synt = synt_target is not None and len(output.synt_xyz) > 0
+
+    if cfg.synthesized and has_synt:
+        terms["synt_uv"] = sum(
+            LOSS_WEIGHTS["synt_hm"] * _mse(hm, synt_target.uv_hms)
+            for hm in output.synt_uv_hms
+        )
+        target_z = synt_target.xyz[..., 2]
+        terms["synt_d"] = sum(
+            LOSS_WEIGHTS["synt_pt"] * _mse(xyz[..., 2], target_z)
+            for xyz in output.synt_xyz
+        )
+
+    projected_dms: list = []
+    if cfg.mv_projection and has_real:
+        total = 0.0
+        for xyz in output.real_xyz:
+            stack_loss, dms = mutual_projection_loss(
+                real_target["camera_poses"],
+                real_target["inv_camera_poses"],
+                xyz,
+                real_target["real_dms"],
+                radii,
+                is_mv=is_mv,
+            )
+            total = total + LOSS_WEIGHTS["mv_projection"] * stack_loss
+            projected_dms.append(dms)
+        terms["mv_projection"] = total
+
+    if cfg.mv_consistency and has_real:
+        w = jnp.where(
+            jnp.asarray(is_mv), LOSS_WEIGHTS["mv_consistency"], 0.0
+        )
+        terms["mv_consistency"] = sum(
+            w * multiview_consistency_loss(real_target["camera_poses"], xyz)
+            for xyz in output.real_xyz
+        )
+
+    if has_real:
+        terms["uv_hm_mean"] = sum(
+            LOSS_WEIGHTS["hm_mean"] * jnp.mean(hm * hm)
+            for hm in output.real_uv_hms
+        )
+
+    if cfg.prior and has_real:
+        assert vae_params is not None and rng is not None
+        rngs = jax.random.split(rng, len(output.real_xyz))
+        terms["pose_prior"] = sum(
+            LOSS_WEIGHTS["prior"] * pose_vae.prior_loss(vae_params, xyz / 100.0, r)
+            for xyz, r in zip(output.real_xyz, rngs)
+        )
+
+    new_prev: tuple = (prev_skel, has_prev)
+    if cfg.temporal and has_real:
+        total = 0.0
+        for xyz in output.real_xyz:
+            t_loss, prev_skel, has_prev = temporal_smoothness(
+                xyz, prev_skel, has_prev
+            )
+            total = total + LOSS_WEIGHTS["temporal_smooth"] * t_loss
+        terms["temporal_smooth"] = total
+        new_prev = (prev_skel, has_prev)
+
+    if cfg.collision and has_real:
+        # view-0-only quirk: 41-joint pair tables over the flattened (V*J) axis
+        terms["collision"] = sum(
+            LOSS_WEIGHTS["collision"]
+            * collision_loss(xyz.reshape(xyz.shape[0], -1, 3))
+            for xyz in output.real_xyz
+        )
+
+    if cfg.bone_length and has_real:
+        terms["bone_length"] = sum(
+            LOSS_WEIGHTS["bone_length"]
+            * bone_length_loss(xyz.reshape(xyz.shape[0], -1, 3))
+            for xyz in output.real_xyz
+        )
+
+    if output.synt_latent and output.real_latent:
+        terms["domain_loss"] = sum(
+            LOSS_WEIGHTS["domain"]
+            * _mse(s.mean(axis=(0, 1, 2)), r.mean(axis=(0, 1, 2)))
+            for s, r in zip(output.synt_latent, output.real_latent)
+        )
+
+    return terms, projected_dms, new_prev
+
+
+def combine_loss(terms: dict) -> jnp.ndarray:
+    """Plain sum of all terms (reference create_network_and_criterion.py:278-282)."""
+    total = 0.0
+    for value in terms.values():
+        total = total + value
+    return total

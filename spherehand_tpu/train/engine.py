@@ -1,0 +1,323 @@
+"""Training/eval engine: epoch orchestration, checkpointing, observability.
+
+Re-design of the reference's ``network/engine.py`` (Engine :52-477). Same
+run semantics — random 6-char run dirs, ``loss_weights.txt`` manifest, three
+epoch modes (synthetic-only / real-only / combined), StepLR-per-epoch, the
+``is_mv`` curriculum window, per-epoch checkpoints plus a rolling latest,
+eval = view-0 + denoiser metric — re-built around jitted steps:
+
+- the device never waits on Python between steps: real batches are gathered
+  from memmaps and ``device_put`` sharded while the previous step runs;
+- metrics stay device-side; the RunningAverage only materializes at the log
+  cadence (the reference forces a `.cpu()` sync every iteration,
+  utils_metric.py:9-10);
+- checkpoints are Orbax; ``--initial_model`` loads weights only while
+  ``--restore_from_model`` restores optimizer state and the LR-schedule epoch
+  (engine.py:105-123,446-460);
+- metrics additionally stream to ``metrics.jsonl`` for machine consumption.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+import string
+import time
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spherehand_tpu.constants import Constants
+from spherehand_tpu.data.nyu import NyuDataset, NyuLoader
+from spherehand_tpu.hand.assets import load_hand_model
+from spherehand_tpu.losses.multitask import LOSS_WEIGHTS
+from spherehand_tpu.parallel import batch_sharding, data_mesh, replicated
+from spherehand_tpu.train.config import EngineConfig
+from spherehand_tpu.train.steps import RealBatch, build_steps
+from spherehand_tpu import viz
+
+_C = Constants()
+
+
+class RunningAverage:
+    """Device-friendly metric accumulator (reference engine.py:30-49): sums
+    stay as device arrays; conversion happens only when printed."""
+
+    def __init__(self):
+        self.num = 0
+        self.sums: dict[str, Any] = {}
+
+    def append(self, metrics: dict) -> None:
+        for k, v in metrics.items():
+            self.sums[k] = v if k not in self.sums else self.sums[k] + v
+        self.num += 1
+
+    def to_dict(self) -> dict[str, float]:
+        return {k: float(v) / self.num for k, v in self.sums.items()}
+
+    def __str__(self) -> str:
+        return " ".join(f"{k}: {v:.4f}" for k, v in self.to_dict().items())
+
+
+def _rand_name(n: int = 6) -> str:
+    return "".join(random.choice(string.ascii_letters + string.digits) for _ in range(n))
+
+
+class Engine:
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.hand = load_hand_model()
+        self.steps = build_steps(cfg, self.hand)
+
+        # Data-parallel mesh: batches shard over the leading axis, state is
+        # replicated; on one device this degenerates to plain jit. The mesh
+        # takes the most devices that evenly divide every batch size (the
+        # reference defaults of 25/48/8 only admit 1; pass e.g.
+        # --real_batch 24 to use a slice).
+        if cfg.data_parallel:
+            avail = len(jax.devices())
+            n = max(
+                n for n in range(1, avail + 1)
+                if cfg.real_batch % n == 0
+                and cfg.synt_batch % n == 0
+                and cfg.eval_batch % n == 0
+            )
+            if n < avail:
+                print(
+                    f"[engine] data-parallel over {n}/{avail} devices "
+                    f"(batch sizes {cfg.real_batch}/{cfg.synt_batch}/"
+                    f"{cfg.eval_batch} limit divisibility)"
+                )
+            self.mesh = data_mesh(jax.devices()[:n])
+        else:
+            self.mesh = data_mesh(jax.devices()[:1])
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._replicated = replicated(self.mesh)
+
+        self._jit_synt = jax.jit(self.steps.synt_step, donate_argnums=0)
+        self._jit_combined = jax.jit(self.steps.combined_step, donate_argnums=0)
+        self._jit_real = jax.jit(self.steps.real_step, donate_argnums=0)
+        self._jit_eval = jax.jit(self.steps.eval_step)
+
+        self.base_key = jax.random.key(cfg.seed)
+        self.state = self.steps.init_state(jax.random.key(cfg.seed + 1))
+        self.starting_epoch = 0
+
+        # Run directory (reference engine.py:102-117).
+        if cfg.restore_from_model is not None:
+            self.model_name = cfg.restore_from_model
+            self.model_path = os.path.join(cfg.model_dir, self.model_name)
+            self.load_checkpoint(cfg.restore_from_epoch)
+        else:
+            self.model_name = cfg.tag + _rand_name()
+            self.model_path = os.path.join(cfg.model_dir, self.model_name)
+            os.makedirs(self.model_path, exist_ok=True)
+        print(f"[engine] run dir: {self.model_path}")
+
+        with open(os.path.join(self.model_path, "loss_weights.txt"), "w") as f:
+            json.dump(LOSS_WEIGHTS, f)
+        with open(os.path.join(self.model_path, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+        if cfg.initial_model is not None:
+            self.load_checkpoint(cfg.initial_model, weights_only=True)
+
+        self.log_file = os.path.join(self.model_path, "log.txt")
+        self.metrics_file = os.path.join(self.model_path, "metrics.jsonl")
+        self.image_dir = os.path.join(self.model_path, "images")
+        os.makedirs(self.image_dir, exist_ok=True)
+
+        # Real datasets load lazily: synthetic-only runs need none.
+        self._train_data = self._eval_data = None
+
+    # ------------------------------------------------------------------ data
+    def _real_loader(self, train: bool, batch_size: int) -> NyuLoader:
+        subset = "train" if train else "test"
+        if train and self._train_data is None:
+            self._train_data = NyuDataset(os.path.join(self.cfg.dataset_dir, subset))
+        if not train and self._eval_data is None:
+            self._eval_data = NyuDataset(os.path.join(self.cfg.dataset_dir, subset))
+        data = self._train_data if train else self._eval_data
+        shuffle = train and not self.cfg.temporal  # engine.py:326-327
+        return NyuLoader(data, batch_size, shuffle, seed=self.cfg.seed)
+
+    def _put_batch(self, raw) -> RealBatch:
+        dms, joints, poses, inv_poses = raw
+        put = lambda x: jax.device_put(np.asarray(x), self._batch_sharding)
+        return RealBatch(put(dms), put(joints), put(poses), put(inv_poses))
+
+    # ------------------------------------------------------------- utilities
+    def _log(self, text: str) -> None:
+        print(text)
+        with open(self.log_file, "a") as f:
+            f.write(text + "\n")
+
+    def _log_metrics(self, record: dict) -> None:
+        with open(self.metrics_file, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def _step_key(self, epoch: int, it: int) -> jax.Array:
+        return jax.random.fold_in(jax.random.fold_in(self.base_key, epoch), it)
+
+    # ----------------------------------------------------------- checkpoints
+    def save_checkpoint(self, epoch: int) -> None:
+        """Per-epoch checkpoint + rolling latest (reference engine.py:438-444,
+        471-474 saves model_{-1} then model_{epoch})."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.model_path, f"model_{epoch}"))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, self.state, force=True)
+        with open(os.path.join(self.model_path, f"model_{epoch}.meta.json"), "w") as f:
+            json.dump({"epoch": epoch, "step": int(self.state.step)}, f)
+
+    def load_checkpoint(self, which: int | str, weights_only: bool = False) -> None:
+        """int -> epoch under this run dir (full resume); str -> explicit path
+        (weights only when ``weights_only``), matching engine.py:446-460."""
+        import orbax.checkpoint as ocp
+
+        if isinstance(which, int):
+            path = os.path.abspath(os.path.join(self.model_path, f"model_{which}"))
+            meta_path = os.path.join(self.model_path, f"model_{which}.meta.json")
+        else:
+            path = os.path.abspath(which)
+            meta_path = path + ".meta.json"
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path, self.state)
+        if weights_only:
+            self.state = self.state.replace(params=restored.params)
+        else:
+            self.state = restored
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    self.starting_epoch = json.load(f)["epoch"]
+
+    # ---------------------------------------------------------------- epochs
+    def _epoch_synt(self, epoch: int) -> None:
+        """Synthetic-only pretraining epoch (engine.py:265-316)."""
+        cfg = self.cfg
+        lr = jnp.asarray(cfg.lr_at_epoch(epoch))
+        avg = RunningAverage()
+        t0 = time.time()
+        iters = cfg.synt_iters_per_epoch * cfg.num_stacks
+        for it in range(iters):
+            self.state, metrics = self._jit_synt(
+                self.state, self._step_key(epoch, it), lr
+            )
+            avg.append(metrics)
+            if it % 100 == 0:
+                dt = time.time() - t0
+                self._log(
+                    f"[{epoch}-{it}]: loss: {avg} lr: {float(lr):.2e} "
+                    f"time: {dt:.2f}s"
+                )
+                self._log_metrics(
+                    {"epoch": epoch, "it": it, "mode": "synt", **avg.to_dict()}
+                )
+                t0 = time.time()
+
+    def _epoch_combined(self, epoch: int) -> None:
+        """Mixed synthetic + real self-supervised epoch (engine.py:318-436)."""
+        cfg = self.cfg
+        lr = jnp.asarray(cfg.lr_at_epoch(epoch))
+        loader = self._real_loader(train=True, batch_size=cfg.real_batch)
+        avg = RunningAverage()
+        t0 = time.time()
+        for it, raw in enumerate(loader):
+            batch = self._put_batch(raw)
+            is_mv = jnp.asarray(it < cfg.mv_curriculum_iters)  # engine.py:361
+            self.state, metrics = self._jit_combined(
+                self.state, self._step_key(epoch, it), lr, batch, is_mv
+            )
+            avg.append(metrics)
+            if it % 100 == 0:
+                dt = time.time() - t0
+                self._log(
+                    f"[{epoch}-{it}]: metric+loss: {avg} lr: {float(lr):.2e} "
+                    f"time: {dt:.2f}s"
+                )
+                self._log_metrics(
+                    {"epoch": epoch, "it": it, "mode": "both", **avg.to_dict()}
+                )
+                t0 = time.time()
+
+    def _epoch_real_train(self, epoch: int) -> None:
+        """Real-only self-supervised epoch, bs=8 (engine.py:150-263)."""
+        cfg = self.cfg
+        lr = jnp.asarray(cfg.lr_at_epoch(epoch))
+        loader = self._real_loader(train=True, batch_size=cfg.eval_batch)
+        avg = RunningAverage()
+        t0 = time.time()
+        for it, raw in enumerate(loader):
+            batch = self._put_batch(raw)
+            self.state, metrics = self._jit_real(
+                self.state, self._step_key(epoch, it), lr, batch
+            )
+            avg.append(metrics)
+            if it % 100 == 0:
+                dt = time.time() - t0
+                self._log(
+                    f"[{epoch}-{it}]: metric+loss: {avg} lr: {float(lr):.2e} "
+                    f"time: {dt:.2f}s"
+                )
+                self._log_metrics(
+                    {"epoch": epoch, "it": it, "mode": "real", **avg.to_dict()}
+                )
+                t0 = time.time()
+
+    def _epoch_real_eval(self, epoch: int, dump_images: bool = False):
+        cfg = self.cfg
+        loader = self._real_loader(train=False, batch_size=cfg.eval_batch)
+        avg = RunningAverage()
+        all_gt, all_est = [], []
+        for it, raw in enumerate(loader):
+            batch = self._put_batch(raw)
+            metrics, denoised = self._jit_eval(
+                self.state.params, self._step_key(epoch, it), batch
+            )
+            avg.append(metrics)
+            all_gt.append(np.asarray(batch.gt_joints[:, 0]))
+            all_est.append(np.asarray(denoised))
+            if dump_images and it % 100 == 0:
+                dms = np.asarray(batch.dms[:, 0]) * _C.depth_scale
+                img = viz.result_grid(
+                    dms,
+                    np.zeros((dms.shape[0], 41, 16, 16), np.float32),
+                    np.asarray(denoised),
+                    vis_indices=None,
+                )
+                viz.save_image(
+                    os.path.join(self.image_dir, f"Eval_{epoch}_{it}.jpg"), img
+                )
+        result = avg.to_dict()
+        self._log(f"[eval epoch {epoch}]: {avg}")
+        self._log_metrics({"epoch": epoch, "mode": "eval", **result})
+        # Result file for the offline evaluator (evaluation/offline.py). The
+        # reference's evaluation.py consumed a result.pkl no code wrote
+        # anymore (SURVEY.md §2.6); this closes that loop.
+        np.savez_compressed(
+            os.path.join(self.model_path, "result.npz"),
+            gt=np.concatenate(all_gt),
+            est=np.concatenate(all_est),
+        )
+        return result
+
+    # ------------------------------------------------------------ public API
+    def train(self) -> None:
+        cfg = self.cfg
+        for epoch in range(self.starting_epoch, cfg.epoch):
+            if cfg.with_real and cfg.synthesize:
+                self._epoch_combined(epoch)
+            elif cfg.synthesize:
+                self._epoch_synt(epoch)
+            elif cfg.with_real:
+                self._epoch_real_train(epoch)
+            self.save_checkpoint(-1)
+            self.save_checkpoint(epoch)
+
+    def eval(self) -> dict:
+        return self._epoch_real_eval(0, dump_images=True)

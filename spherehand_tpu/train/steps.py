@@ -1,0 +1,284 @@
+"""Jitted train/eval steps — the whole iteration is ONE XLA program.
+
+The reference's hot loop (network/engine.py:318-436) interleaves host-side
+DataLoader pulls, per-module CUDA launches, and per-iteration ``.cpu()``
+metric syncs. Here synthesis (pose sampling -> FK -> rasterization -> noise),
+the network forward, every loss, the backward pass, and the optimizer update
+compile into a single donated-buffer jit; real-data batches are the only
+host input, and metrics come back as device scalars the engine reads lazily.
+
+Optimizer parity: Adam(lr, weight_decay=1e-5) with torch semantics — the L2
+term is added to the gradient BEFORE the moment updates
+(``optax.add_decayed_weights`` ahead of ``scale_by_adam``), matching
+engine.py:95-97. The learning rate enters the step as a scalar argument so
+the engine can drive the reference's StepLR schedule per epoch.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from spherehand_tpu.constants import Constants
+from spherehand_tpu.data.noise import depth_resample
+from spherehand_tpu.data.sampler import sample_poses
+from spherehand_tpu.data.synthesizer import synthesize
+from spherehand_tpu.evaluation.metrics import average_joint_error
+from spherehand_tpu.hand.assets import HandModel
+from spherehand_tpu.losses.multitask import combine_loss, multitask_loss
+from spherehand_tpu.models.estimator import forward, make_network
+from spherehand_tpu.models.pose_denoiser import load_pose_denoiser
+from spherehand_tpu.models.pose_vae import load_pose_vae_params
+from spherehand_tpu.train.config import EngineConfig
+
+_C = Constants()
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    # Carried state for the temporal-smoothness loss (util_modules.py:360-381).
+    prev_skel: jnp.ndarray  # (V, 41, 3)
+    has_prev: jnp.ndarray   # bool scalar
+
+
+class StepFns(NamedTuple):
+    init_state: Any          # (key) -> TrainState
+    synt_step: Any           # (state, key, lr) -> (state, metrics)
+    combined_step: Any       # (state, key, lr, batch, is_mv) -> (state, metrics)
+    real_step: Any           # (state, key, lr, batch) -> (state, metrics)
+    eval_step: Any           # (params, key, batch) -> metrics dict
+    network: Any
+
+
+class RealBatch(NamedTuple):
+    """One NYU multi-view batch (depth in mm, straight from the loader)."""
+
+    dms: jnp.ndarray         # (B, V, 64, 64) mm, background 100
+    gt_joints: jnp.ndarray   # (B, V, 36, 3)
+    poses: jnp.ndarray       # (B, V, 4, 4)
+    inv_poses: jnp.ndarray   # (B, V, 4, 4)
+
+
+def make_optimizer(weight_decay: float = 1e-5) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(),
+    )
+
+
+def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
+    """Construct the jitted step functions, closed over static config/assets."""
+    network = make_network(cfg.num_stacks)
+    loss_cfg = cfg.loss_config
+    tx = make_optimizer(cfg.weight_decay)
+    vae_params = load_pose_vae_params() if cfg.prior else None
+    denoiser, denoiser_params = load_pose_denoiser()
+    radii = hand.kp_radius
+
+    def init_state(key: jax.Array) -> TrainState:
+        params = network.init(key, jnp.zeros((1, 64, 64)))["params"]
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            prev_skel=jnp.zeros((3, _C.num_joints, 3)),
+            has_prev=jnp.zeros((), bool),
+        )
+
+    def _apply_updates(state, grads, lr, prev_skel, has_prev):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(
+            state.params, jax.tree.map(lambda u: -lr * u, updates)
+        )
+        return state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            prev_skel=prev_skel,
+            has_prev=has_prev,
+        )
+
+    def _maybe_resample(key, dms):
+        if cfg.depth_resample:
+            return depth_resample(key, dms, 0.95, cfg.depth_resample)
+        return dms
+
+    def synt_step(state: TrainState, key: jax.Array, lr: jnp.ndarray):
+        """Synthetic-only pretraining step (engine.py:265-316)."""
+        k_pose, k_synt, k_rs = jax.random.split(key, 3)
+        pose_params = sample_poses(k_pose, cfg.synt_batch)
+        synt = synthesize(hand, k_synt, pose_params)
+        synt = synt._replace(dms=_maybe_resample(k_rs, synt.dms))
+
+        def loss_fn(params):
+            out = forward(network, params, synt_dms=synt.dms)
+            terms, _, _ = multitask_loss(
+                loss_cfg, out, radii, synt_target=synt
+            )
+            return combine_loss(terms), (terms, out)
+
+        (loss, (terms, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = _apply_updates(state, grads, lr, state.prev_skel, state.has_prev)
+        metrics = {"loss": loss, **terms}
+        metrics["synt_joint_err"] = jnp.mean(
+            jnp.linalg.norm(out.synt_xyz[-1] - synt.xyz, axis=-1)
+        )
+        return state, metrics
+
+    def combined_step(
+        state: TrainState,
+        key: jax.Array,
+        lr: jnp.ndarray,
+        batch: RealBatch,
+        is_mv: jnp.ndarray,
+    ):
+        """Mixed synthetic + real self-supervised step (engine.py:318-436)."""
+        k_pose, k_synt, k_rs, k_aug, k_prior = jax.random.split(key, 5)
+        pose_params = sample_poses(k_pose, cfg.synt_batch)
+        synt = synthesize(hand, k_synt, pose_params)
+
+        scaled_real = batch.dms * _C.depth_scale
+        if cfg.depth_resample:
+            k_rs2, k_rs = jax.random.split(k_rs)
+            flat = scaled_real.reshape(-1, 64, 64)
+            scaled_real = depth_resample(
+                k_rs2, flat, 0.95, cfg.depth_resample
+            ).reshape(scaled_real.shape)
+            synt = synt._replace(dms=_maybe_resample(k_rs, synt.dms))
+
+        real_target = {
+            "real_dms": batch.dms,
+            "camera_poses": batch.poses,
+            "inv_camera_poses": batch.inv_poses,
+        }
+
+        def loss_fn(params):
+            out = forward(
+                network,
+                params,
+                synt_dms=synt.dms,
+                real_dms=scaled_real,
+                rng=k_aug,
+                train=True,
+            )
+            terms, _, new_prev = multitask_loss(
+                loss_cfg,
+                out,
+                radii,
+                vae_params=vae_params,
+                synt_target=synt,
+                real_target=real_target,
+                rng=k_prior,
+                is_mv=is_mv,
+                prev_skel=state.prev_skel,
+                has_prev=state.has_prev,
+            )
+            return combine_loss(terms), (terms, out, new_prev)
+
+        (loss, (terms, out, new_prev)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        prev_skel, has_prev = new_prev
+        if prev_skel is None:
+            prev_skel, has_prev = state.prev_skel, state.has_prev
+        state = _apply_updates(state, grads, lr, prev_skel, has_prev)
+        metrics = {"loss": loss, **terms}
+        metrics["avg_joint_error"] = average_joint_error(
+            batch.gt_joints, out.real_xyz[-1]
+        )
+        return state, metrics
+
+    def real_step(
+        state: TrainState, key: jax.Array, lr: jnp.ndarray, batch: RealBatch
+    ):
+        """Real-data-only self-supervised step (engine.py:150-263, Train mode)."""
+        k_rs, k_aug, k_prior = jax.random.split(key, 3)
+        scaled_real = batch.dms * _C.depth_scale
+        if cfg.depth_resample:
+            flat = scaled_real.reshape(-1, 64, 64)
+            scaled_real = depth_resample(
+                k_rs, flat, 0.95, cfg.depth_resample
+            ).reshape(scaled_real.shape)
+        real_target = {
+            "real_dms": batch.dms,
+            "camera_poses": batch.poses,
+            "inv_camera_poses": batch.inv_poses,
+        }
+
+        def loss_fn(params):
+            out = forward(
+                network, params, real_dms=scaled_real, rng=k_aug, train=True
+            )
+            terms, _, new_prev = multitask_loss(
+                loss_cfg,
+                out,
+                radii,
+                vae_params=vae_params,
+                real_target=real_target,
+                rng=k_prior,
+                is_mv=jnp.asarray(True),
+                prev_skel=state.prev_skel,
+                has_prev=state.has_prev,
+            )
+            return combine_loss(terms), (terms, out, new_prev)
+
+        (loss, (terms, out, new_prev)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        prev_skel, has_prev = new_prev
+        if prev_skel is None:
+            prev_skel, has_prev = state.prev_skel, state.has_prev
+        state = _apply_updates(state, grads, lr, prev_skel, has_prev)
+        metrics = {"loss": loss, **terms}
+        metrics["avg_joint_error"] = average_joint_error(
+            batch.gt_joints, out.real_xyz[-1]
+        )
+        return state, metrics
+
+    def eval_step(params, key: jax.Array, batch: RealBatch):
+        """Evaluation step (engine.py:150-263): losses for logging plus the
+        headline metric — view 0, last stack, palm joints denoised
+        (engine.py:203-207)."""
+        scaled_real = batch.dms * _C.depth_scale
+        out = forward(network, params, real_dms=scaled_real, train=False)
+        real_target = {
+            "real_dms": batch.dms,
+            "camera_poses": batch.poses,
+            "inv_camera_poses": batch.inv_poses,
+        }
+        terms, _, _ = multitask_loss(
+            loss_cfg,
+            out,
+            radii,
+            vae_params=vae_params,
+            real_target=real_target,
+            rng=key,
+            is_mv=jnp.asarray(True),
+        )
+        est = out.real_xyz[-1][:, 0]  # (B, 41, 3), view 0
+        denoised = denoiser.apply({"params": denoiser_params}, est)
+        metrics = {**terms}
+        metrics["avg_joint_error"] = average_joint_error(
+            batch.gt_joints[:, 0], denoised
+        )
+        metrics["avg_joint_error_raw"] = average_joint_error(
+            batch.gt_joints[:, 0], est
+        )
+        return metrics, denoised
+
+    return StepFns(
+        init_state=init_state,
+        synt_step=synt_step,
+        combined_step=combined_step,
+        real_step=real_step,
+        eval_step=eval_step,
+        network=network,
+    )

@@ -1,0 +1,144 @@
+"""Palm adjuster, PCA prior, offline evaluation, segmentation, sampler, noise."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def test_estimate_similarity_recovers_known_transform():
+    from spherehand_tpu.evaluation.palm_adjust import (
+        apply_similarity,
+        estimate_similarity,
+    )
+
+    rng = np.random.RandomState(0)
+    src = rng.uniform(-50, 50, (8, 3))
+    ang = 0.7
+    rot0 = np.asarray(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]]
+    )
+    dst = 0.8 * src @ rot0.T + np.asarray([3.0, -5.0, 2.0])
+    rot, t, scale = estimate_similarity(src, dst)
+    np.testing.assert_allclose(scale, 0.8, atol=1e-6)
+    np.testing.assert_allclose(apply_similarity(src, rot, t, scale), dst, atol=1e-6)
+
+
+def test_ransac_rejects_outliers():
+    from spherehand_tpu.evaluation.palm_adjust import (
+        apply_similarity,
+        estimate_similarity_ransac,
+    )
+
+    rng = np.random.RandomState(1)
+    src = rng.uniform(-50, 50, (12, 3))
+    dst = src @ np.eye(3) + np.asarray([5.0, 0.0, 0.0])
+    dst[0] += 300.0  # gross outlier
+    rot, t, scale = estimate_similarity_ransac(src, dst, iterations=20)
+    fit = apply_similarity(src[1:], rot, t, scale)
+    np.testing.assert_allclose(fit, dst[1:], atol=1e-5)
+
+
+def test_adjust_palm_pose_replaces_palm_only():
+    from spherehand_tpu.evaluation.palm_adjust import (
+        CANONICAL_PALM_PTS,
+        adjust_palm_pose,
+    )
+
+    joints = np.zeros((41, 3))
+    joints[:12] = CANONICAL_PALM_PTS  # joints already on the template
+    joints[12:] = np.random.RandomState(2).uniform(-50, 50, (29, 3))
+    adjusted = adjust_palm_pose(joints)
+    np.testing.assert_allclose(adjusted[:11], CANONICAL_PALM_PTS[:11], atol=1e-5)
+    np.testing.assert_array_equal(adjusted[11:], joints[11:])
+
+
+def test_pca_prior_zero_for_in_subspace_poses():
+    from spherehand_tpu.hand.assets import load_pose_prior_pca
+    from spherehand_tpu.losses.pca_prior import pca_prior_loss, pca_reconstruct
+
+    mean, components = load_pose_prior_pca()
+    # A pose exactly in the subspace: mean + combination of components.
+    coeffs = np.linspace(-1, 1, components.shape[0]).astype(np.float32)
+    flat = np.asarray(mean) + coeffs @ np.asarray(components)
+    joints = jnp.asarray(flat.reshape(1, 41, 3))
+    # root-center invariance: loss operates on centered joints
+    loss = pca_prior_loss(mean, components, joints)
+    recon = pca_reconstruct(mean, components, joints + 7.0)
+    assert float(loss) < 1e-4
+    assert recon.shape == (1, 41, 3)
+    # off-subspace pose has positive loss
+    rng_joints = jnp.asarray(
+        np.random.RandomState(3).uniform(-60, 60, (1, 41, 3)).astype(np.float32)
+    )
+    assert float(pca_prior_loss(mean, components, rng_joints)) > 1.0
+
+
+def test_offline_evaluation_artifacts(tmp_path):
+    from spherehand_tpu.evaluation.offline import evaluate_result_file
+
+    rng = np.random.RandomState(5)
+    gt = rng.uniform(-60, 60, (20, 36, 3)).astype(np.float32)
+    est = rng.uniform(-60, 60, (20, 41, 3)).astype(np.float32)
+    path = str(tmp_path / "result.npz")
+    np.savez(path, gt=gt, est=est)
+    out = evaluate_result_file(path, make_plot=False)
+    assert out["mean_error"] > 0
+    assert (tmp_path / "per_joint_mean_error.txt").exists()
+    assert (tmp_path / "mean_error.txt").exists()
+    assert (tmp_path / "max_error.txt").exists()
+    assert np.all(np.diff(out["fractions"]) >= 0)  # CDF is monotone
+
+
+def test_depth_segmentation_masks_far_pixels():
+    from spherehand_tpu.ops.segmentation import segment_depth
+
+    dms = jnp.full((1, 64, 64), 50.0)
+    joints = jnp.zeros((1, 41, 3))  # all joints at center (u=v=32)
+    out = segment_depth(dms, joints)
+    assert float(out[0, 32, 32]) == 50.0
+    assert float(out[0, 0, 0]) == 100.0
+
+
+def test_sampler_ranges_and_shapes():
+    from spherehand_tpu.data.sampler import sample_poses
+
+    poses = np.asarray(sample_poses(jax.random.key(0), 512))
+    assert poses.shape == (512, 26)
+    # palm pitch in [-pi, 0]
+    assert poses[:, 1].max() <= 0.0 and poses[:, 1].min() >= -3.15
+    # translations in range
+    assert poses[:, 3].min() >= -15.0 and poses[:, 3].max() <= 15.0
+    assert poses[:, 5].min() >= -35.0 and poses[:, 5].max() <= 15.0
+    # thumb flex2 = 0.25 * flex1 coupling
+    np.testing.assert_allclose(poses[:, 24], 0.25 * poses[:, 23], atol=1e-6)
+    # finger flexes stay in plausible articulation range
+    flex = poses[:, [7, 8, 9, 11, 12, 13, 15, 16, 17, 19, 20, 21]]
+    assert flex.min() > -1.0 and flex.max() < 5.5
+
+
+def test_depth_noise_preserves_background_and_shape():
+    from spherehand_tpu.data.noise import depth_pixel_noise
+
+    dms = np.full((2, 64, 64), 1.0, np.float32)
+    dms[:, 30:34, 30:34] = 0.4
+    out = np.asarray(depth_pixel_noise(jax.random.key(0), jnp.asarray(dms)))
+    assert out.shape == (2, 64, 64)
+    assert (out[:, :10, :10] == 1.0).all()  # far background untouched
+    assert not np.allclose(out[:, 30:34, 30:34], 0.4)  # foreground jittered
+
+
+def test_resize_crop_identity_and_shrink():
+    from spherehand_tpu.data.noise import resize_crop
+
+    rng = np.random.RandomState(7)
+    dms = rng.uniform(0, 1, (3, 64, 64)).astype(np.float32)
+    ones = jnp.ones((3,))
+    out = np.asarray(resize_crop(jnp.asarray(dms), ones, ones))
+    np.testing.assert_array_equal(out, dms)
+    small = np.asarray(
+        resize_crop(jnp.asarray(dms), jnp.full((3,), 0.5), jnp.full((3,), 0.5))
+    )
+    # shrunk content centered, border is background
+    assert (small[:, :15, :] == 1.0).all()
+    assert (small[:, :, :15] == 1.0).all()
+    assert not np.allclose(small[:, 20:44, 20:44], 1.0)

@@ -318,6 +318,33 @@ def golden_multiview(mesh) -> None:
     print("multiview.npz", loss_mv.item(), loss_sv.item(), cons.item())
 
 
+def golden_nyu_crop() -> None:
+    sys.path.insert(0, os.path.join(REFERENCE, "dataset"))
+    import utils as ref_utils
+
+    rng = np.random.RandomState(31)
+    dm = rng.uniform(400, 1500, size=(480, 640)).astype(np.float32)
+    # carve a "hand" blob at a known depth so the crop has structure
+    dm[200:280, 300:380] = rng.uniform(820, 900, size=(80, 80))
+    center = np.asarray([40.0, -30.0, 860.0], np.float32)
+    cam = ref_utils.CameraIntrinsic()
+    cropped = ref_utils.crop_dm(dm, center, cam, (300, 300, 300), (64, 64))
+
+    pts1 = rng.uniform(-80, 80, size=(36, 3)).astype(np.float64)
+    ang = 0.4
+    rot = np.asarray(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]]
+    )
+    pts2 = pts1 @ rot.T + np.asarray([5.0, -3.0, 2.0])
+    transform = ref_utils.estimate_rigid_transformation(pts1, pts2)
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "nyu_crop.npz"),
+        dm=dm, center=center, cropped=cropped.astype(np.float32),
+        pts1=pts1, pts2=pts2, transform=transform,
+    )
+    print("nyu_crop.npz", cropped.shape)
+
+
 def golden_softargmax() -> None:
     from network.util_modules import (
         RecoverXYZCoordinateFromHeatmap, HeatmapVariance)
@@ -350,6 +377,7 @@ def main() -> None:
     golden_geometric_losses(mesh)
     golden_multiview(mesh)
     golden_softargmax()
+    golden_nyu_crop()
 
 
 if __name__ == "__main__":
