@@ -11,6 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -20,6 +21,13 @@ TARGET_FPS = 50_000.0
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: the Pallas kernel's first compile through
+    # the TPU tunnel is minutes; subsequent runs are seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from spherehand_tpu.data.sampler import sample_poses

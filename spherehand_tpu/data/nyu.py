@@ -176,9 +176,14 @@ class NyuDatasetGenerator:
             f"depth_{v + 1}_{idx + 1:07d}.png" for v in range(self.num_views)
         ]
 
-    def generate(self, samples_per_shard: int = 1000, workers: int | None = None):
-        import multiprocessing as mp
+    def generate(self, samples_per_shard: int = 1000, workers: int | None = None,
+                 use_native: bool = True):
+        """Produce all shards. PNG decode + crop runs on the native C++
+        thread pool when available (spherehand_tpu/data/native.py), else on a
+        Python process pool."""
+        from spherehand_tpu.data import native
 
+        native_ok = use_native and native.available()
         workers = workers or max(os.cpu_count() - 1, 1)
         num_shards = self.num_samples // samples_per_shard + 1
         for shard in range(num_shards):
@@ -186,23 +191,76 @@ class NyuDatasetGenerator:
             end = min(start + samples_per_shard, self.num_samples)
             if start >= end:
                 break
-            args = [
-                (
-                    self.src_dir,
-                    self._names(i),
-                    self.joints[:, i],
-                    self.cube_mm,
-                    self.out_size,
+            if native_ok:
+                dms, joint_poses, camera_poses = self._prepare_range_native(
+                    start, end
                 )
+            else:
+                dms, joint_poses, camera_poses = self._prepare_range_python(
+                    start, end, workers
+                )
+            self._write_shard(f"mv_data_{shard}", dms, joint_poses, camera_poses)
+            print(f"shard {shard}: samples [{start}, {end})"
+                  f"{' [native]' if native_ok else ''}")
+
+    def _prepare_range_native(self, start: int, end: int):
+        from spherehand_tpu.data import native
+
+        n = end - start
+        paths, centers = [], []
+        for i in range(start, end):
+            for v, name in enumerate(self._names(i)):
+                paths.append(os.path.join(self.src_dir, name))
+                centers.append(self.joints[v, i, 32])
+        crops, failures = native.decode_crop_batch(
+            paths,
+            np.asarray(centers, np.float32),
+            cube=self.cube_mm,
+            out_size=self.out_size,
+        )
+        if failures:
+            raise IOError(f"{failures} depth PNGs failed to decode")
+        dms = crops.reshape(n, self.num_views, self.out_size, self.out_size)
+        joint_poses = np.stack(
+            [
+                self.joints[:, i] - self.joints[:, i, 32][:, None]
                 for i in range(start, end)
             ]
-            with mp.Pool(workers) as pool:
-                results = pool.map(_prepare_sample, args)
-            dms = np.stack([r[0] for r in results])
-            joint_poses = np.stack([r[1] for r in results])
-            camera_poses = np.stack([r[2] for r in results])
-            self._write_shard(f"mv_data_{shard}", dms, joint_poses, camera_poses)
-            print(f"shard {shard}: samples [{start}, {end})")
+        ).astype(np.float32)
+        camera_poses = np.stack(
+            [
+                np.stack(
+                    [np.eye(4)]
+                    + [
+                        kabsch_transform(joint_poses[k, v], joint_poses[k, 0])
+                        for v in range(1, self.num_views)
+                    ]
+                )
+                for k, _ in enumerate(range(start, end))
+            ]
+        ).astype(np.float32)
+        return dms, joint_poses, camera_poses
+
+    def _prepare_range_python(self, start: int, end: int, workers: int):
+        import multiprocessing as mp
+
+        args = [
+            (
+                self.src_dir,
+                self._names(i),
+                self.joints[:, i],
+                self.cube_mm,
+                self.out_size,
+            )
+            for i in range(start, end)
+        ]
+        with mp.Pool(workers) as pool:
+            results = pool.map(_prepare_sample, args)
+        return (
+            np.stack([r[0] for r in results]),
+            np.stack([r[1] for r in results]),
+            np.stack([r[2] for r in results]),
+        )
 
     def _write_shard(self, name, dms, joint_poses, camera_poses):
         shapes = {

@@ -209,12 +209,16 @@ def render_depth_64(
     transforms: jnp.ndarray,
     rand_f: jnp.ndarray | None = None,
     out_size: int = 64,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Bone transforms -> 64x64 depth maps in mm, reference-parity path.
 
     LBS the full mesh, orthographic-project into the 640 canvas, rasterize at
     the 128x128 sparse sample grid, average 2x2, clamp depth to <= 100
     (reference DepthRender + DepthRasterization, mesh/render.py:282-331).
+
+    backend: "pallas" (tile-binned kernel, the production TPU path), "xla"
+    (brute-force scan, the oracle/fallback), or "auto" (pallas on TPU).
     """
     scale = _C.raster_size // out_size
     verts = lbs_mesh(model, transforms)  # (B, V, 4)
@@ -222,9 +226,22 @@ def render_depth_64(
     face_verts = projected[:, model.faces.reshape(-1), :3]
     face_verts = face_verts.reshape(transforms.shape[0], model.num_faces, 3, 3)
     samples = jnp.asarray(bilinear_sample_positions(out_size, scale))
-    zbuf = rasterize_depth(
-        face_verts, samples, samples, width=_C.raster_size, height=_C.raster_size
-    )
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+    if backend == "pallas":
+        from spherehand_tpu.render.raster_pallas import rasterize_depth_binned
+
+        tiles = (2 * out_size) // 8
+        zbuf = rasterize_depth_binned(
+            face_verts, samples, samples,
+            width=_C.raster_size, height=_C.raster_size,
+            tiles_x=tiles, tiles_y=tiles,
+        )
+    else:
+        zbuf = rasterize_depth(
+            face_verts, samples, samples,
+            width=_C.raster_size, height=_C.raster_size,
+        )
     zbuf = jnp.minimum(zbuf, _C.background_depth)  # clamp (mesh/render.py:286)
     batch = zbuf.shape[0]
     blocks = zbuf.reshape(batch, out_size, 2, out_size, 2)

@@ -104,7 +104,9 @@ class Engine:
         self._jit_eval = jax.jit(self.steps.eval_step)
 
         self.base_key = jax.random.key(cfg.seed)
-        self.state = self.steps.init_state(jax.random.key(cfg.seed + 1))
+        self.state = jax.device_put(
+            self.steps.init_state(jax.random.key(cfg.seed + 1)), self._replicated
+        )
         self.starting_epoch = 0
 
         # Run directory (reference engine.py:102-117).
@@ -188,6 +190,7 @@ class Engine:
             meta_path = path + ".meta.json"
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(path, self.state)
+        restored = jax.device_put(restored, self._replicated)
         if weights_only:
             self.state = self.state.replace(params=restored.params)
         else:
