@@ -138,6 +138,25 @@ def multiview_consistency_loss(
     return jnp.mean((med[:, None] - canonical) ** 2)
 
 
+def weighted_multiview_consistency_loss(
+    poses: jnp.ndarray, joints: jnp.ndarray, hm_weight: jnp.ndarray
+) -> jnp.ndarray:
+    """Variant pulling every view toward the highest-confidence view.
+
+    hm_weight: (B, V, J) per-joint confidences; the target is the canonical
+    joint of the max-weight view, and the loss is the SUM of squared
+    deviations (reference WeightedMultiviewConsistencyLoss,
+    multiview_utility.py:170-201 — imported by the reference criterion but
+    never constructed; provided for API parity).
+    """
+    canonical = apply_rigid(poses, joints)  # (B, V, J, 3)
+    best_view = jnp.argmax(hm_weight, axis=1)  # (B, J)
+    target = jnp.take_along_axis(
+        canonical, best_view[:, None, :, None], axis=1
+    )  # (B, 1, J, 3)
+    return jnp.sum((target - canonical) ** 2)
+
+
 def fuse_mv_pose(
     joints: jnp.ndarray,
     poses: jnp.ndarray,

@@ -117,10 +117,10 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
 
 def _raster_kernel(
     starts_ref,  # scalar prefetch: (B*(NT+2),) int32
-    xcoord_ref,  # (1, 64) tile sample x, via block index t
-    ycoord_ref,  # (1, 64) tile sample y
+    xcoord_ref,  # (64, 1) tile sample x, via block index t
+    ycoord_ref,  # (64, 1) tile sample y
     fdata_ref,   # (B, FREC, E) face records, HBM
-    out_ref,     # (1, 64) -> (B, NT, 64) tile depths
+    out_ref,     # (1, 64, 1) -> (B, NT*64, 1) tile depths
     scratch_ref,  # (FREC, CHUNK) VMEM
     sem,
     *,
@@ -132,12 +132,16 @@ def _raster_kernel(
     t = pl.program_id(1)
     base = b * (num_tiles + 2)
 
-    x = xcoord_ref[0][:, None]  # (64, 1)
-    y = ycoord_ref[0][:, None]
+    x = xcoord_ref[:, :]  # (64, 1)
+    y = ycoord_ref[:, :]
 
     def process_range(rs, re, zbuf):
+        # Lane-dim DMA offsets must be 128-aligned on TPU: round the range
+        # start down to a CHUNK boundary and mask the leading entries.
+        aligned_rs = (rs // CHUNK) * CHUNK
+
         def chunk_body(i, zbuf):
-            off = rs + i * CHUNK
+            off = pl.multiple_of(aligned_rs + i * CHUNK, CHUNK)
             dma = pltpu.make_async_copy(
                 fdata_ref.at[b, :, pl.ds(off, CHUNK)], scratch_ref, sem
             )
@@ -171,7 +175,8 @@ def _raster_kernel(
             w_sum = w0 + w1 + w2
             depth = w_sum / (w0 * r0 + w1 * r1 + w2 * r2)
 
-            in_range = (off + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)) < re
+            entry = off + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            in_range = (entry >= rs) & (entry < re)
             cover = (
                 valid
                 & in_range
@@ -184,7 +189,9 @@ def _raster_kernel(
             depth = jnp.where(cover, depth, 1000.0)
             return jnp.minimum(zbuf, jnp.min(depth, axis=1, keepdims=True))
 
-        n_chunks = pl.cdiv(jnp.maximum(re - rs, 0), CHUNK)
+        n_chunks = jnp.where(
+            re > rs, pl.cdiv(jnp.maximum(re - aligned_rs, 0), CHUNK), 0
+        )
         return jax.lax.fori_loop(0, n_chunks, chunk_body, zbuf)
 
     zbuf = jnp.full((64, 1), 1000.0, jnp.float32)
@@ -192,7 +199,7 @@ def _raster_kernel(
     zbuf = process_range(
         starts_ref[base + num_tiles], starts_ref[base + num_tiles + 1], zbuf
     )
-    out_ref[0, 0] = zbuf[:, 0]
+    out_ref[0] = zbuf
 
 
 @functools.partial(
@@ -240,25 +247,27 @@ def rasterize_depth_binned(
     pad = (-fdata_sorted.shape[-1]) % CHUNK + CHUNK
     fdata_sorted = jnp.pad(fdata_sorted, ((0, 0), (0, 0), (0, pad)))
 
-    # Per-tile sample coordinate tables (NT, 64), sample s = yi*TILE_S + xi.
+    # Per-tile sample coordinate tables (NT*64, 1) — 64-sublane blocks per
+    # tile, sample s = yi*TILE_S + xi (lane-dim-1 layout keeps Mosaic's
+    # block-divisibility rules happy).
     shape4 = (tiles_y, tiles_x, TILE_S, TILE_S)
     xcoords = jnp.broadcast_to(
         sample_x.reshape(1, tiles_x, 1, TILE_S), shape4
-    ).reshape(num_tiles, TILE_S * TILE_S)
+    ).reshape(num_tiles * TILE_S * TILE_S, 1)
     ycoords = jnp.broadcast_to(
         sample_y.reshape(tiles_y, 1, TILE_S, 1), shape4
-    ).reshape(num_tiles, TILE_S * TILE_S)
+    ).reshape(num_tiles * TILE_S * TILE_S, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch, num_tiles),
         in_specs=[
-            pl.BlockSpec((1, 64), lambda b, t, s: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64), lambda b, t, s: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 1), lambda b, t, s: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 1), lambda b, t, s: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 64), lambda b, t, s: (b, t, 0), memory_space=pltpu.VMEM
+            (1, 64, 1), lambda b, t, s: (b, t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((FREC, CHUNK), jnp.float32),
@@ -270,17 +279,19 @@ def rasterize_depth_binned(
     )
     tile_depths = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((batch, num_tiles, 64), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_tiles * TILE_S * TILE_S, 1), jnp.float32
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
         starts.reshape(-1),
-        jnp.asarray(xcoords),
-        jnp.asarray(ycoords),
+        xcoords,
+        ycoords,
         fdata_sorted,
     )
 
-    # (B, NT, 64) -> (B, Sy, Sx): tile t covers rows ty*8..+8, cols tx*8..+8.
+    # (B, NT*64, 1) -> (B, Sy, Sx): tile t covers rows ty*8..+8, cols tx*8..+8.
     out = tile_depths.reshape(batch, tiles_y, tiles_x, TILE_S, TILE_S)
     return out.transpose(0, 1, 3, 2, 4).reshape(
         batch, tiles_y * TILE_S, tiles_x * TILE_S

@@ -1,0 +1,77 @@
+"""Train-step throughput on the attached device (synt-only and combined).
+
+The reference never measured steps/sec (engine.py prints wall time per 100
+iterations only). Reports steps/sec and synthetic-frames/sec for the two
+training modes with reference batch geometry (48 synt + 25 real x 3 views).
+
+Usage: python tools/profile_train.py [synt_batch] [real_batch]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from spherehand_tpu.hand.assets import load_hand_model
+from spherehand_tpu.train.config import EngineConfig
+from spherehand_tpu.train.steps import RealBatch, build_steps
+
+
+def main():
+    synt_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    real_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    cfg = EngineConfig(synt_batch=synt_batch, real_batch=real_batch, num_stacks=1)
+    hand = load_hand_model()
+    steps = build_steps(cfg, hand)
+    state = steps.init_state(jax.random.key(0))
+    print(f"device: {jax.devices()[0]}, synt={synt_batch}, real={real_batch}x3")
+
+    rng = np.random.RandomState(0)
+    dms = np.full((real_batch, 3, 64, 64), 100.0, np.float32)
+    dms[:, :, 20:44, 20:44] = rng.uniform(20, 60, (real_batch, 3, 24, 24))
+    batch = RealBatch(
+        dms=jnp.asarray(dms),
+        gt_joints=jnp.asarray(rng.uniform(-80, 80, (real_batch, 3, 36, 3)).astype(np.float32)),
+        poses=jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (real_batch, 3, 1, 1))),
+        inv_poses=jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (real_batch, 3, 1, 1))),
+    )
+    lr = jnp.asarray(1e-3)
+
+    synt_step = jax.jit(steps.synt_step, donate_argnums=0)
+    state, m = synt_step(state, jax.random.key(1), lr)
+    jax.block_until_ready(m["loss"])
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = synt_step(state, jax.random.key(i + 2), lr)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"synt_step:     {dt * 1e3:8.2f} ms/step  "
+          f"({synt_batch / dt:8.1f} synthetic frames/sec)")
+
+    combined = jax.jit(steps.combined_step, donate_argnums=0)
+    state, m = combined(state, jax.random.key(100), lr, batch, jnp.asarray(True))
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = combined(
+            state, jax.random.key(i + 101), lr, batch, jnp.asarray(True)
+        )
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"combined_step: {dt * 1e3:8.2f} ms/step  ({1 / dt:8.2f} steps/sec)")
+
+
+if __name__ == "__main__":
+    main()
