@@ -23,6 +23,16 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# torch Conv2d's default kaiming_uniform(a=sqrt(5)) is variance_scaling with
+# gain^2 = 2/(1+5) = 1/3 over fan_in, uniform. Matching it keeps training
+# dynamics comparable to the reference (bias stays zero-init; torch's tiny
+# uniform bias init is immaterial).
+torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class TorchConv(nn.Conv):
+    kernel_init: nn.initializers.Initializer = torch_conv_init
+
 
 class Bottleneck(nn.Module):
     """Pre-activation GroupNorm bottleneck, expansion 2 (hourglass.py:7-41)."""
@@ -35,19 +45,19 @@ class Bottleneck(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn1")(x)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (1, 1), name="conv1")(y)
+        y = TorchConv(self.planes, (1, 1), name="conv1")(y)
         y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(
+        y = TorchConv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
             padding=1, name="conv2",
         )(y)
         y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn3")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes * 2, (1, 1), name="conv3")(y)
+        y = TorchConv(self.planes * 2, (1, 1), name="conv3")(y)
         residual = x
         if self.downsample:
-            residual = nn.Conv(
+            residual = TorchConv(
                 self.planes * 2, (1, 1), strides=(self.stride, self.stride),
                 name="down",
             )(x)
@@ -110,7 +120,7 @@ class HourglassNet(nn.Module):
         if x.ndim == 3:
             x = x[..., None]  # (B, H, W) depth map -> single channel
         ch = self.feats * 2
-        x = nn.Conv(64, (5, 5), strides=(2, 2), padding=2, name="conv1")(x)
+        x = TorchConv(64, (5, 5), strides=(2, 2), padding=2, name="conv1")(x)
         x = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="gn1")(x)
         x = nn.relu(x)
         x = Bottleneck(64, downsample=True, name="layer1")(x)
@@ -122,15 +132,15 @@ class HourglassNet(nn.Module):
         for i in range(self.num_stacks):
             y, latent = Hourglass(self.feats, name=f"hg{i}")(x)
             y = Bottleneck(self.feats, name=f"res{i}")(y)
-            y = nn.Conv(ch, (1, 1), name=f"fc_conv{i}")(y)
+            y = TorchConv(ch, (1, 1), name=f"fc_conv{i}")(y)
             y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name=f"fc_gn{i}")(y)
             y = nn.relu(y)
-            score = nn.Conv(self.num_outputs, (1, 1), name=f"score{i}")(y)
+            score = TorchConv(self.num_outputs, (1, 1), name=f"score{i}")(y)
             scores.append(score)
             latents.append(latent)
             if i < self.num_stacks - 1:
-                fc_ = nn.Conv(ch, (1, 1), name=f"inter_fc{i}")(y)
-                score_ = nn.Conv(ch, (1, 1), name=f"inter_score{i}")(score)
+                fc_ = TorchConv(ch, (1, 1), name=f"inter_fc{i}")(y)
+                score_ = TorchConv(ch, (1, 1), name=f"inter_score{i}")(score)
                 x = x + fc_ + score_
         return scores, latents
 

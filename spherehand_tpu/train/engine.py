@@ -38,6 +38,7 @@ from spherehand_tpu.losses.multitask import LOSS_WEIGHTS
 from spherehand_tpu.parallel import batch_sharding, data_mesh, replicated
 from spherehand_tpu.train.config import EngineConfig
 from spherehand_tpu.train.steps import RealBatch, build_steps
+from spherehand_tpu.utils.profiling import StepTimer
 from spherehand_tpu import viz
 
 _C = Constants()
@@ -229,6 +230,7 @@ class Engine:
         lr = jnp.asarray(cfg.lr_at_epoch(epoch))
         loader = self._real_loader(train=True, batch_size=cfg.real_batch)
         avg = RunningAverage()
+        timer = StepTimer(window=100)
         t0 = time.time()
         for it, raw in enumerate(loader):
             batch = self._put_batch(raw)
@@ -237,14 +239,18 @@ class Engine:
                 self.state, self._step_key(epoch, it), lr, batch, is_mv
             )
             avg.append(metrics)
+            timer.tick(metrics["loss"])  # blocks only at window edges
             if it % 100 == 0:
                 dt = time.time() - t0
                 self._log(
                     f"[{epoch}-{it}]: metric+loss: {avg} lr: {float(lr):.2e} "
-                    f"time: {dt:.2f}s"
+                    f"steps/s: {timer.steps_per_sec:.2f} time: {dt:.2f}s"
                 )
                 self._log_metrics(
-                    {"epoch": epoch, "it": it, "mode": "both", **avg.to_dict()}
+                    {
+                        "epoch": epoch, "it": it, "mode": "both",
+                        "steps_per_sec": timer.steps_per_sec, **avg.to_dict(),
+                    }
                 )
                 t0 = time.time()
 
