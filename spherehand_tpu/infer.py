@@ -1,0 +1,93 @@
+"""Inference API: depth crops -> 3D hand joints (the serving surface).
+
+The reference exposes estimation only through the eval loop
+(network/engine.py:150-263); this module packages it as a reusable,
+jit-compiled predictor: hourglass forward on scaled 64x64 depth crops,
+soft-argmax recovery from the final stack, optional palm denoising (the
+eval-time post-process, engine.py:203-205) and optional template palm
+adjustment (mesh/adjust_palm_pose.py).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spherehand_tpu.constants import Constants
+from spherehand_tpu.evaluation.palm_adjust import adjust_palm_pose
+from spherehand_tpu.models.estimator import forward, make_network
+from spherehand_tpu.models.pose_denoiser import load_pose_denoiser
+
+_C = Constants()
+
+
+class PoseEstimator:
+    """Stateful convenience wrapper around the jitted prediction function.
+
+    Parameters
+    ----------
+    params: hourglass flax params (from a checkpoint or Engine state).
+    num_stacks: stack count the params were trained with.
+    denoise: apply the frozen palm denoiser MLP to the output.
+    """
+
+    def __init__(self, params: Any, num_stacks: int = 1, denoise: bool = True):
+        self.network = make_network(num_stacks)
+        self.params = params
+        self.denoise = denoise
+        if denoise:
+            self._denoiser, self._denoiser_params = load_pose_denoiser()
+
+        @jax.jit
+        def _predict(params, dms):
+            out = forward(self.network, params, real_dms=dms[:, None], train=False)
+            joints = out.real_xyz[-1][:, 0]
+            if denoise:
+                joints = self._denoiser.apply(
+                    {"params": self._denoiser_params}, joints
+                )
+            heatmaps = out.real_uv_hms[-1][:, 0]
+            return joints, heatmaps
+
+        self._predict = _predict
+
+    def predict(
+        self, depth_mm: np.ndarray, palm_adjust: bool = False
+    ) -> np.ndarray:
+        """Depth crops (B, 64, 64) in mm (background 100) -> joints (B, 41, 3).
+
+        Input follows the NYU crop convention (300 mm cube, orthographic).
+        """
+        dms = jnp.asarray(np.asarray(depth_mm, np.float32)) * _C.depth_scale
+        joints, _ = self._predict(self.params, dms)
+        joints = np.asarray(joints)
+        if palm_adjust:
+            joints = np.stack([adjust_palm_pose(j) for j in joints])
+        return joints
+
+    def predict_with_heatmaps(self, depth_mm: np.ndarray):
+        dms = jnp.asarray(np.asarray(depth_mm, np.float32)) * _C.depth_scale
+        joints, heatmaps = self._predict(self.params, dms)
+        return np.asarray(joints), np.asarray(heatmaps)
+
+
+def load_estimator(
+    checkpoint_path: str, num_stacks: int = 1, denoise: bool = True
+) -> PoseEstimator:
+    """Build a PoseEstimator from an Orbax checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    from spherehand_tpu.hand.assets import load_hand_model
+    from spherehand_tpu.train.config import EngineConfig
+    from spherehand_tpu.train.steps import build_steps
+
+    steps = build_steps(EngineConfig(num_stacks=num_stacks), load_hand_model())
+    template = steps.init_state(jax.random.key(0))
+    import os
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(checkpoint_path), template)
+    return PoseEstimator(restored.params, num_stacks=num_stacks, denoise=denoise)

@@ -86,8 +86,11 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
     xmax_c = jnp.trunc(jnp.minimum(xmax, width - 1.0))
     ymax_c = jnp.trunc(jnp.minimum(ymax, height - 1.0))
 
+    # method="compare_all": the default binary-search lowering is a while
+    # loop that dominated the whole render (4 x ~26 ms per 128-batch call,
+    # measured); a dense compare against the 128-entry grid is ~free.
     def srt(grid, v, side):
-        return jnp.searchsorted(grid, v, side=side)
+        return jnp.searchsorted(grid, v, side=side, method="compare_all")
 
     i_lo = srt(sample_x, jnp.ceil(xmin), "left")
     i_hi = srt(sample_x, xmax_c, "right") - 1
@@ -237,13 +240,28 @@ def rasterize_depth_binned(
 
     # Per-tile start offsets: starts[b, t] .. starts[b, t+1] is tile t's
     # entry range; [num_tiles] .. [num_tiles+1] is the overflow range.
-    boundaries = jnp.arange(num_tiles + 2, dtype=jnp.int32)
-    starts = jax.vmap(
-        lambda row: jnp.searchsorted(row, boundaries, side="left")
-    )(sorted_keys).astype(jnp.int32)
+    # Per-tile range starts == histogram prefix sums of the (small-domain)
+    # keys; a bincount via one-hot sum avoids searchsorted's while-loop
+    # lowering on TPU.
+    counts = jnp.sum(
+        keys[:, :, None] == jnp.arange(num_tiles + 2, dtype=jnp.int32),
+        axis=1,
+        dtype=jnp.int32,
+    )  # (B, NT+2)
+    starts = jnp.concatenate(
+        [
+            jnp.zeros((keys.shape[0], 1), jnp.int32),
+            jnp.cumsum(counts[:, :-1], axis=-1, dtype=jnp.int32),
+        ],
+        axis=-1,
+    )  # (B, NT+2): starts[t]..starts[t+1] = tile t's range
 
     fdata = _build_face_records(p, face_inv, valid)  # (B, FREC, F)
-    fdata_sorted = jnp.take_along_axis(fdata, order[:, None, :], axis=-1)
+    # Gather whole 96-byte records (rows of the transposed layout) instead of
+    # 24 strided single-float gathers, then transpose back to field-major.
+    rec_rows = fdata.transpose(0, 2, 1)  # (B, F, FREC)
+    gathered = jnp.take_along_axis(rec_rows, order[:, :, None], axis=1)
+    fdata_sorted = gathered.transpose(0, 2, 1)  # (B, FREC, E)
     pad = (-fdata_sorted.shape[-1]) % CHUNK + CHUNK
     fdata_sorted = jnp.pad(fdata_sorted, ((0, 0), (0, 0), (0, pad)))
 

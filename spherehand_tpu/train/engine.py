@@ -235,11 +235,13 @@ class Engine:
         for it, raw in enumerate(loader):
             batch = self._put_batch(raw)
             is_mv = jnp.asarray(it < cfg.mv_curriculum_iters)  # engine.py:361
-            self.state, metrics = self._jit_combined(
+            self.state, metrics, vis = self._jit_combined(
                 self.state, self._step_key(epoch, it), lr, batch, is_mv
             )
             avg.append(metrics)
             timer.tick(metrics["loss"])  # blocks only at window edges
+            if it % 400 == 0:
+                self._dump_train_images(epoch, it, vis)
             if it % 100 == 0:
                 dt = time.time() - t0
                 self._log(
@@ -277,6 +279,31 @@ class Engine:
                     {"epoch": epoch, "it": it, "mode": "real", **avg.to_dict()}
                 )
                 t0 = time.time()
+
+    def _dump_train_images(self, epoch: int, it: int, vis: dict) -> None:
+        """Real + synthetic result grids (reference engine.py:386-434)."""
+        try:
+            real = viz.result_grid(
+                np.asarray(vis["real_dms"]).reshape(-1, 64, 64)[:6],
+                np.asarray(vis["real_uv_hms"]).reshape(-1, 41, 16, 16)[:6],
+                np.asarray(vis["real_xyz"]).reshape(-1, 41, 3)[:6],
+            )
+            synt = viz.result_grid(
+                np.asarray(vis["synt_dms"])[:6],
+                np.asarray(vis["synt_uv_hms"])[:6],
+                np.asarray(vis["synt_xyz"])[:6],
+            )
+            gt = viz.result_grid(
+                np.asarray(vis["synt_dms"])[:6],
+                np.asarray(vis["synt_gt_uv_hms"])[:6],
+                np.asarray(vis["synt_gt_xyz"])[:6],
+            )
+            img = np.hstack([real, synt, gt])
+            viz.save_image(
+                os.path.join(self.image_dir, f"Train_{epoch}_{it}.jpg"), img
+            )
+        except Exception as exc:  # visualization must never kill training
+            self._log(f"[viz] dump failed: {exc}")
 
     def _epoch_real_eval(self, epoch: int, dump_images: bool = False):
         cfg = self.cfg

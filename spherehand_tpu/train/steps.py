@@ -194,7 +194,19 @@ def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
         metrics["avg_joint_error"] = average_joint_error(
             batch.gt_joints, out.real_xyz[-1]
         )
-        return state, metrics
+        # Visualization payload (final stack). Device arrays; the engine only
+        # materializes them at its image-dump cadence (engine.py:386-434).
+        vis = {
+            "real_dms": scaled_real,
+            "real_uv_hms": out.real_uv_hms[-1],
+            "real_xyz": out.real_xyz[-1],
+            "synt_dms": synt.dms,
+            "synt_uv_hms": out.synt_uv_hms[-1],
+            "synt_xyz": out.synt_xyz[-1],
+            "synt_gt_uv_hms": synt.uv_hms,
+            "synt_gt_xyz": synt.xyz,
+        }
+        return state, metrics, vis
 
     def real_step(
         state: TrainState, key: jax.Array, lr: jnp.ndarray, batch: RealBatch

@@ -62,9 +62,10 @@ def test_combined_step_runs_and_is_finite(steps):
     rng = np.random.RandomState(3)
     batch = _fake_real_batch(rng)
     step = jax.jit(steps.combined_step)
-    state, metrics = step(
+    state, metrics, vis = step(
         state, jax.random.key(5), jnp.asarray(1e-3), batch, jnp.asarray(True)
     )
+    assert vis["synt_dms"].shape[0] == 4
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
     expected = {
@@ -74,7 +75,7 @@ def test_combined_step_runs_and_is_finite(steps):
     }
     assert expected <= set(metrics)
     # is_mv=False path also compiles and runs
-    state, metrics2 = step(
+    state, metrics2, _ = step(
         state, jax.random.key(6), jnp.asarray(1e-3), batch, jnp.asarray(False)
     )
     assert np.isfinite(float(metrics2["loss"]))

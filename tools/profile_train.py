@@ -63,11 +63,11 @@ def main():
           f"({synt_batch / dt:8.1f} synthetic frames/sec)")
 
     combined = jax.jit(steps.combined_step, donate_argnums=0)
-    state, m = combined(state, jax.random.key(100), lr, batch, jnp.asarray(True))
+    state, m, _ = combined(state, jax.random.key(100), lr, batch, jnp.asarray(True))
     jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
     for i in range(iters):
-        state, m = combined(
+        state, m, _ = combined(
             state, jax.random.key(i + 101), lr, batch, jnp.asarray(True)
         )
     jax.block_until_ready(m["loss"])
