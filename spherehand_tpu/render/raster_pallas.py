@@ -2,27 +2,35 @@
 
 Same coverage/depth semantics as :mod:`spherehand_tpu.render.raster` (which
 replicates the reference CUDA kernel, depth_rasterization_cuda_kernel.cu), but
-restructured for TPU speed-of-light:
+restructured for TPU speed-of-light. Design, shaped by per-op profiling on a
+v5e chip:
 
-1. **Binning (XLA pre-pass).** Each face's conservative bbox is mapped to the
-   sparse sample grid and assigned to up to 4 sample-tiles (the 2x2 tiles
-   containing its bbox corners, deduplicated); faces larger than a tile go to
-   a shared overflow list every tile scans. Assignments are sorted by tile
-   key (one ``lax.sort_key_val`` of 4F entries) so each tile's faces form ONE
-   contiguous range of the sorted face-data buffer — per-tile work then
-   scales with the faces actually overlapping that tile (~1.3F total visits)
-   instead of all samples x all faces (the brute-force path tests ~40x more
-   pairs on a hand render).
+1. **Binning (XLA pre-pass).** Each face gets ONE sort key: the sample tile
+   containing its bbox LOW corner (faces spanning more than 2x2 tiles go to a
+   shared overflow bucket; off-screen/degenerate faces to a dump bucket at the
+   end). One ``sort_key_val`` of F entries orders the face records by bucket;
+   per-bucket offsets come from a histogram + cumsum (searchsorted's binary-
+   search lowering is a TPU while-loop that once dominated this pipeline).
+   A tile's relevant faces (bbox <= tile size => low corner in its 2x2 upper-
+   left neighborhood) then live in two contiguous windows of the sorted
+   buffer: buckets {t-1, t} and {t-tiles_x-1, t-tiles_x}.
 
-2. **Kernel (Pallas).** Grid (batch, tiles); per-tile face ranges arrive via
-   scalar prefetch; face records stream HBM -> VMEM in 128-face chunks with
-   explicit DMA and a dynamic ``fori_loop`` trip count (empty tiles cost one
-   bounds check). Each chunk is a dense (64 samples x 128 faces) VPU block —
-   exactly the 8x128-lane register shape — min-reduced into the tile z-buffer.
-   No atomics anywhere: the z-test is a lane reduction (the CUDA original
-   needs a CAS loop, .cu:6-16).
+2. **Vertex sorting by select, not gather.** The CUDA-order x-sort of each
+   face's vertices is computed with elementwise ``where`` ladders; the
+   previous ``take_along_axis`` formulation lowered to a 12-byte-row gather
+   that cost more than the entire rasterization kernel.
 
-Face record layout (FREC=24 rows x entry columns, field-major so a chunk DMA
+3. **Kernel.** Grid = (batch,): one program per image. The whole sorted
+   record buffer (FREC x F floats, ~330 KB) rides into VMEM through the
+   normal BlockSpec pipeline (auto double-buffered across grid steps), so the
+   per-tile loop reads records straight from VMEM — no manual DMA, no
+   per-tile program overhead (a (batch x tiles) grid spent ~0.9 us/program of
+   fixed cost, ~100% of kernel time). Each tile min-reduces dense
+   (64 samples x 128 faces) VPU blocks — the exact 8x128 register shape —
+   into its z-buffer slice. No atomics anywhere: the z-test is a lane
+   reduction (the CUDA original needs a CAS loop, .cu:6-16).
+
+Face record layout (FREC=24 rows x face columns, field-major so a chunk read
 is a (24, 128) aligned block):
   0-2  p0x p1x p2x (x-sorted)     3-5  p0y p1y p2y
   6-8  s01 s12 s02 (edge slopes)  9-10 vert01 vert12 (vertical-edge flags)
@@ -33,29 +41,69 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spherehand_tpu.render.raster import face_setup
-
 FREC = 24  # rows per face record
-CHUNK = 128  # faces per kernel chunk (lane dimension)
+CHUNK = 128  # faces per compute chunk (lane dimension)
 TILE_S = 8  # tile edge in samples -> 64 samples/tile
+
+
+def _sort_vertices_by_x(face_vertices: jnp.ndarray) -> jnp.ndarray:
+    """Sort each face's 3 vertices left-to-right with the CUDA tie rules
+    (.cu:38-45), as pure elementwise selects (gathers are slow on TPU)."""
+    v0 = face_vertices[..., 0, :]
+    v1 = face_vertices[..., 1, :]
+    v2 = face_vertices[..., 2, :]
+    x0, x1, x2 = v0[..., 0], v1[..., 0], v2[..., 0]
+
+    c01 = x0 < x1
+    pi0 = jnp.where(c01, jnp.where(x2 < x0, 2, 0), jnp.where(x2 < x1, 2, 1))
+    pi2 = jnp.where(c01, jnp.where(x1 < x2, 2, 1), jnp.where(x0 < x2, 2, 0))
+    pi1 = 3 - pi0 - pi2
+
+    def pick(idx):
+        sel = idx[..., None]
+        return jnp.where(sel == 0, v0, jnp.where(sel == 1, v1, v2))
+
+    return jnp.stack([pick(pi0), pick(pi1), pick(pi2)], axis=-2)
+
+
+def face_setup_fast(face_vertices: jnp.ndarray):
+    """Like raster.face_setup but with select-based vertex sorting."""
+    x = face_vertices[..., 0]
+    y = face_vertices[..., 1]
+    front = (y[..., 2] - y[..., 0]) * (x[..., 1] - x[..., 0]) >= (
+        y[..., 1] - y[..., 0]
+    ) * (x[..., 2] - x[..., 0])
+
+    p = _sort_vertices_by_x(face_vertices)
+    px0, px1, px2 = p[..., 0, 0], p[..., 1, 0], p[..., 2, 0]
+    py0, py1, py2 = p[..., 0, 1], p[..., 1, 1], p[..., 2, 1]
+
+    den = px2 * (py0 - py1) + px0 * (py1 - py2) + px1 * (py2 - py0)
+    nondegenerate = (px0 != px2) & (den != 0.0)
+    safe_den = jnp.where(den == 0.0, 1.0, den)
+    row0 = jnp.stack([py1 - py2, px2 - px1, px1 * py2 - px2 * py1], axis=-1)
+    row1 = jnp.stack([py2 - py0, px0 - px2, px2 * py0 - px0 * py2], axis=-1)
+    row2 = jnp.stack([py0 - py1, px1 - px0, px0 * py1 - px1 * py0], axis=-1)
+    face_inv = jnp.stack([row0, row1, row2], axis=-2) / safe_den[..., None, None]
+    return p, face_inv, front & nondegenerate
 
 
 def _build_face_records(p, face_inv, valid):
     """(B, F, 3, 3) sorted verts + inverse + valid -> (B, FREC, F) records."""
-    px = p[..., 0]  # (B, F, 3)
+    px = p[..., 0]
     py = p[..., 1]
     pz = p[..., 2]
 
     def safe_slope(a, b):
         dx = px[..., b] - px[..., a]
-        return jnp.where(dx == 0.0, 0.0, (py[..., b] - py[..., a]) / jnp.where(dx == 0.0, 1.0, dx))
+        return jnp.where(
+            dx == 0.0, 0.0, (py[..., b] - py[..., a]) / jnp.where(dx == 0.0, 1.0, dx)
+        )
 
     rows = [
         px[..., 0], px[..., 1], px[..., 2],
@@ -68,11 +116,11 @@ def _build_face_records(p, face_inv, valid):
     inv_flat = face_inv.reshape(face_inv.shape[:-2] + (9,))
     rows.extend(inv_flat[..., k] for k in range(9))
     rows.append(valid.astype(jnp.float32))
-    return jnp.stack(rows, axis=-2)  # (B, FREC, F)
+    return jnp.stack(rows, axis=-2)
 
 
 def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
-    """Assign faces to sample tiles. Returns (keys (B, 4F), num_tiles)."""
+    """Single low-corner tile key per face. Returns (keys (B, F), num_tiles)."""
     num_tiles = tiles_x * tiles_y
     overflow, dump = num_tiles, num_tiles + 1
 
@@ -81,14 +129,11 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
     xmin, xmax = px[..., 0], px[..., 2]
     ymin = jnp.min(py, axis=-1)
     ymax = jnp.max(py, axis=-1)
-    # C-truncation quirk: a max bound in (-1, 0) truncates to -0.0, which a
-    # sample at 0 still satisfies (raster.py handles the compare side).
     xmax_c = jnp.trunc(jnp.minimum(xmax, width - 1.0))
     ymax_c = jnp.trunc(jnp.minimum(ymax, height - 1.0))
 
-    # method="compare_all": the default binary-search lowering is a while
-    # loop that dominated the whole render (4 x ~26 ms per 128-batch call,
-    # measured); a dense compare against the 128-entry grid is ~free.
+    # compare_all: the default binary-search lowering is a while loop that
+    # once dominated the whole render (4 x ~26 ms per 128-batch call).
     def srt(grid, v, side):
         return jnp.searchsorted(grid, v, side=side, method="compare_all")
 
@@ -104,105 +149,107 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
     ty_hi = jnp.clip(j_hi // TILE_S, 0, tiles_y - 1)
     big = ((tx_hi - tx_lo) > 1) | ((ty_hi - ty_lo) > 1)
 
-    t00 = ty_lo * tiles_x + tx_lo
-    t01 = ty_lo * tiles_x + tx_hi
-    t10 = ty_hi * tiles_x + tx_lo
-    t11 = ty_hi * tiles_x + tx_hi
-    same_x = tx_hi == tx_lo
-    same_y = ty_hi == ty_lo
-    k0 = jnp.where(empty, dump, jnp.where(big, overflow, t00))
-    k1 = jnp.where(empty | big | same_x, dump, t01)
-    k2 = jnp.where(empty | big | same_y, dump, t10)
-    k3 = jnp.where(empty | big | same_x | same_y, dump, t11)
-    keys = jnp.concatenate([k0, k1, k2, k3], axis=-1).astype(jnp.int32)
-    return keys, num_tiles
+    low_corner = ty_lo * tiles_x + tx_lo
+    keys = jnp.where(empty, dump, jnp.where(big, overflow, low_corner))
+    return keys.astype(jnp.int32), num_tiles
 
 
 def _raster_kernel(
     starts_ref,  # scalar prefetch: (B*(NT+2),) int32
-    xcoord_ref,  # (64, 1) tile sample x, via block index t
-    ycoord_ref,  # (64, 1) tile sample y
-    fdata_ref,   # (B, FREC, E) face records, HBM
-    out_ref,     # (1, 64, 1) -> (B, NT*64, 1) tile depths
-    scratch_ref,  # (FREC, CHUNK) VMEM
-    sem,
+    xcoord_ref,  # (NT*64, 1) per-tile sample x (full array in VMEM)
+    ycoord_ref,  # (NT*64, 1)
+    fdata_ref,   # (1, FREC, E) sorted face records (block, auto-pipelined)
+    out_ref,     # (1, NT*64, 1)
     *,
     num_tiles: int,
+    tiles_x: int,
     width: int,
     height: int,
 ):
     b = pl.program_id(0)
-    t = pl.program_id(1)
     base = b * (num_tiles + 2)
 
-    x = xcoord_ref[:, :]  # (64, 1)
-    y = ycoord_ref[:, :]
+    def tile_body(t, _):
+        x = xcoord_ref[pl.ds(t * 64, 64), :]  # (64, 1)
+        y = ycoord_ref[pl.ds(t * 64, 64), :]
 
-    def process_range(rs, re, zbuf):
-        # Lane-dim DMA offsets must be 128-aligned on TPU: round the range
-        # start down to a CHUNK boundary and mask the leading entries.
-        aligned_rs = (rs // CHUNK) * CHUNK
+        def process_range(rs, re, zbuf):
+            aligned_rs = (rs // CHUNK) * CHUNK
 
-        def chunk_body(i, zbuf):
-            off = pl.multiple_of(aligned_rs + i * CHUNK, CHUNK)
-            dma = pltpu.make_async_copy(
-                fdata_ref.at[b, :, pl.ds(off, CHUNK)], scratch_ref, sem
+            def chunk_body(i, zbuf):
+                off = pl.multiple_of(aligned_rs + i * CHUNK, CHUNK)
+                f = fdata_ref[0, :, pl.ds(off, CHUNK)]  # (FREC, CHUNK) VMEM read
+                p0x, p1x, p2x = f[0][None], f[1][None], f[2][None]
+                p0y, p1y, p2y = f[3][None], f[4][None], f[5][None]
+                s01, s12, s02 = f[6][None], f[7][None], f[8][None]
+                vert01, vert12 = f[9][None] > 0.5, f[10][None] > 0.5
+                r0, r1, r2 = f[11][None], f[12][None], f[13][None]
+                valid = f[23][None] > 0.5
+
+                e01 = s01 * (x - p0x) + p0y
+                e12 = s12 * (x - p1x) + p1y
+                yi1 = jnp.where(
+                    x <= p1x,
+                    jnp.where(vert01, p1y, e01),
+                    jnp.where(vert12, p1y, e12),
+                )
+                yi2 = s02 * (x - p0x) + p0y
+                y_lo = jnp.ceil(jnp.minimum(yi1, yi2))
+                y_hi = jnp.trunc(jnp.minimum(jnp.maximum(yi1, yi2), height - 1.0))
+                x_ok = (x >= jnp.ceil(p0x)) & (
+                    x <= jnp.trunc(jnp.minimum(p2x, width - 1.0))
+                )
+
+                w0 = jnp.clip(f[14][None] * x + f[15][None] * y + f[16][None], 0.0, 1.0)
+                w1 = jnp.clip(f[17][None] * x + f[18][None] * y + f[19][None], 0.0, 1.0)
+                w2 = jnp.clip(f[20][None] * x + f[21][None] * y + f[22][None], 0.0, 1.0)
+                w_sum = w0 + w1 + w2
+                depth = w_sum / (w0 * r0 + w1 * r1 + w2 * r2)
+
+                entry = off + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                cover = (
+                    valid
+                    & (entry >= rs)
+                    & (entry < re)
+                    & x_ok
+                    & (y >= y_lo)
+                    & (y <= y_hi)
+                    & (w_sum > 0.0)
+                    & ~jnp.isnan(depth)
+                )
+                depth = jnp.where(cover, depth, 1000.0)
+                return jnp.minimum(zbuf, jnp.min(depth, axis=1, keepdims=True))
+
+            n_chunks = jnp.where(
+                re > rs, pl.cdiv(jnp.maximum(re - aligned_rs, 0), CHUNK), 0
             )
-            dma.start()
-            dma.wait()
-            f = scratch_ref  # (FREC, CHUNK); rows broadcast over samples
-            p0x, p1x, p2x = f[0][None], f[1][None], f[2][None]
-            p0y, p1y, p2y = f[3][None], f[4][None], f[5][None]
-            s01, s12, s02 = f[6][None], f[7][None], f[8][None]
-            vert01, vert12 = f[9][None] > 0.5, f[10][None] > 0.5
-            r0, r1, r2 = f[11][None], f[12][None], f[13][None]
-            valid = f[23][None] > 0.5
+            return jax.lax.fori_loop(0, n_chunks, chunk_body, zbuf)
 
-            e01 = s01 * (x - p0x) + p0y
-            e12 = s12 * (x - p1x) + p1y
-            yi1 = jnp.where(
-                x <= p1x,
-                jnp.where(vert01, p1y, e01),
-                jnp.where(vert12, p1y, e12),
-            )
-            yi2 = s02 * (x - p0x) + p0y
-            y_lo = jnp.ceil(jnp.minimum(yi1, yi2))
-            y_hi = jnp.trunc(jnp.minimum(jnp.maximum(yi1, yi2), height - 1.0))
-            x_ok = (x >= jnp.ceil(p0x)) & (
-                x <= jnp.trunc(jnp.minimum(p2x, width - 1.0))
-            )
-
-            w0 = jnp.clip(f[14][None] * x + f[15][None] * y + f[16][None], 0.0, 1.0)
-            w1 = jnp.clip(f[17][None] * x + f[18][None] * y + f[19][None], 0.0, 1.0)
-            w2 = jnp.clip(f[20][None] * x + f[21][None] * y + f[22][None], 0.0, 1.0)
-            w_sum = w0 + w1 + w2
-            depth = w_sum / (w0 * r0 + w1 * r1 + w2 * r2)
-
-            entry = off + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            in_range = (entry >= rs) & (entry < re)
-            cover = (
-                valid
-                & in_range
-                & x_ok
-                & (y >= y_lo)
-                & (y <= y_hi)
-                & (w_sum > 0.0)
-                & ~jnp.isnan(depth)
-            )
-            depth = jnp.where(cover, depth, 1000.0)
-            return jnp.minimum(zbuf, jnp.min(depth, axis=1, keepdims=True))
-
-        n_chunks = jnp.where(
-            re > rs, pl.cdiv(jnp.maximum(re - aligned_rs, 0), CHUNK), 0
+        zbuf = jnp.full((64, 1), 1000.0, jnp.float32)
+        # Window over buckets {t-1, t}: faces whose bbox low corner is this
+        # tile or its left neighbor.
+        lo_a = jnp.maximum(t - 1, 0)
+        zbuf = process_range(starts_ref[base + lo_a], starts_ref[base + t + 1], zbuf)
+        # Window over buckets {t-tiles_x-1, t-tiles_x}: the row above.
+        up = t - tiles_x
+        lo_b = jnp.maximum(up - 1, 0)
+        hi_b = jnp.maximum(up + 1, 0)
+        zbuf = jax.lax.cond(
+            up >= 0,
+            lambda z: process_range(
+                starts_ref[base + lo_b], starts_ref[base + hi_b], z
+            ),
+            lambda z: z,
+            zbuf,
         )
-        return jax.lax.fori_loop(0, n_chunks, chunk_body, zbuf)
+        # Overflow bucket: oversized faces every tile scans.
+        zbuf = process_range(
+            starts_ref[base + num_tiles], starts_ref[base + num_tiles + 1], zbuf
+        )
+        out_ref[0, pl.ds(t * 64, 64), :] = zbuf
+        return 0
 
-    zbuf = jnp.full((64, 1), 1000.0, jnp.float32)
-    zbuf = process_range(starts_ref[base + t], starts_ref[base + t + 1], zbuf)
-    zbuf = process_range(
-        starts_ref[base + num_tiles], starts_ref[base + num_tiles + 1], zbuf
-    )
-    out_ref[0] = zbuf
+    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
 
 
 @functools.partial(
@@ -228,46 +275,40 @@ def rasterize_depth_binned(
     assert sample_x.shape[0] == tiles_x * TILE_S
     assert sample_y.shape[0] == tiles_y * TILE_S
 
-    p, face_inv, valid = face_setup(face_vertices)
+    p, face_inv, valid = face_setup_fast(face_vertices)
     keys, num_tiles = _bin_faces(
         p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height
     )
     face_ids = jnp.broadcast_to(
-        jnp.tile(jnp.arange(num_faces, dtype=jnp.int32), 4)[None],
-        keys.shape,
+        jnp.arange(num_faces, dtype=jnp.int32)[None], keys.shape
     )
-    sorted_keys, order = jax.lax.sort_key_val(keys, face_ids, dimension=-1)
+    _, order = jax.lax.sort_key_val(keys, face_ids, dimension=-1)
 
-    # Per-tile start offsets: starts[b, t] .. starts[b, t+1] is tile t's
-    # entry range; [num_tiles] .. [num_tiles+1] is the overflow range.
-    # Per-tile range starts == histogram prefix sums of the (small-domain)
-    # keys; a bincount via one-hot sum avoids searchsorted's while-loop
-    # lowering on TPU.
+    # Per-bucket range starts: histogram prefix sums of the small-domain keys
+    # (searchsorted's while-loop lowering is slow on TPU).
     counts = jnp.sum(
         keys[:, :, None] == jnp.arange(num_tiles + 2, dtype=jnp.int32),
         axis=1,
         dtype=jnp.int32,
-    )  # (B, NT+2)
+    )
     starts = jnp.concatenate(
         [
-            jnp.zeros((keys.shape[0], 1), jnp.int32),
+            jnp.zeros((batch, 1), jnp.int32),
             jnp.cumsum(counts[:, :-1], axis=-1, dtype=jnp.int32),
         ],
         axis=-1,
-    )  # (B, NT+2): starts[t]..starts[t+1] = tile t's range
+    )  # (B, NT+2)
 
     fdata = _build_face_records(p, face_inv, valid)  # (B, FREC, F)
-    # Gather whole 96-byte records (rows of the transposed layout) instead of
-    # 24 strided single-float gathers, then transpose back to field-major.
+    # Gather whole 96-byte records (rows of the transposed layout), then
+    # transpose back to field-major for aligned (FREC, CHUNK) reads.
     rec_rows = fdata.transpose(0, 2, 1)  # (B, F, FREC)
     gathered = jnp.take_along_axis(rec_rows, order[:, :, None], axis=1)
-    fdata_sorted = gathered.transpose(0, 2, 1)  # (B, FREC, E)
+    fdata_sorted = gathered.transpose(0, 2, 1)  # (B, FREC, F)
     pad = (-fdata_sorted.shape[-1]) % CHUNK + CHUNK
     fdata_sorted = jnp.pad(fdata_sorted, ((0, 0), (0, 0), (0, pad)))
 
-    # Per-tile sample coordinate tables (NT*64, 1) — 64-sublane blocks per
-    # tile, sample s = yi*TILE_S + xi (lane-dim-1 layout keeps Mosaic's
-    # block-divisibility rules happy).
+    # Per-tile sample coordinate tables (NT*64, 1), sample s = yi*TILE_S + xi.
     shape4 = (tiles_y, tiles_x, TILE_S, TILE_S)
     xcoords = jnp.broadcast_to(
         sample_x.reshape(1, tiles_x, 1, TILE_S), shape4
@@ -278,22 +319,36 @@ def rasterize_depth_binned(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(batch, num_tiles),
+        grid=(batch,),
         in_specs=[
-            pl.BlockSpec((64, 1), lambda b, t, s: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 1), lambda b, t, s: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (num_tiles * TILE_S * TILE_S, 1),
+                lambda b, s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (num_tiles * TILE_S * TILE_S, 1),
+                lambda b, s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, FREC, fdata_sorted.shape[-1]),
+                lambda b, s: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 64, 1), lambda b, t, s: (b, t, 0), memory_space=pltpu.VMEM
+            (1, num_tiles * TILE_S * TILE_S, 1),
+            lambda b, s: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((FREC, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
     )
     kernel = functools.partial(
-        _raster_kernel, num_tiles=num_tiles, width=width, height=height
+        _raster_kernel,
+        num_tiles=num_tiles,
+        tiles_x=tiles_x,
+        width=width,
+        height=height,
     )
     tile_depths = pl.pallas_call(
         kernel,
