@@ -32,3 +32,24 @@ def test_predict_with_heatmaps():
     joints, hms = est.predict_with_heatmaps(dms)
     assert joints.shape == (2, 41, 3)
     assert hms.shape == (2, 41, 16, 16)
+
+
+def test_load_estimator_from_checkpoint(tmp_path):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from spherehand_tpu.hand.assets import load_hand_model
+    from spherehand_tpu.infer import load_estimator
+    from spherehand_tpu.train.config import EngineConfig
+    from spherehand_tpu.train.steps import build_steps
+
+    steps = build_steps(EngineConfig(num_stacks=1), load_hand_model())
+    state = steps.init_state(jax.random.key(3))
+    path = os.path.abspath(str(tmp_path / "ckpt"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state)
+    est = load_estimator(path, num_stacks=1, denoise=False)
+    dms = np.full((1, 64, 64), 100.0, np.float32)
+    joints = est.predict(dms)
+    assert joints.shape == (1, 41, 3)
