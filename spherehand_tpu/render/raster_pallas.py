@@ -230,17 +230,14 @@ def _raster_kernel(
         # tile or its left neighbor.
         lo_a = jnp.maximum(t - 1, 0)
         zbuf = process_range(starts_ref[base + lo_a], starts_ref[base + t + 1], zbuf)
-        # Window over buckets {t-tiles_x-1, t-tiles_x}: the row above.
+        # Window over buckets {t-tiles_x-1, t-tiles_x}: the row above. For
+        # top-row tiles the clamped window degenerates to [starts[0],
+        # starts[0]) — empty — so no branch is needed.
         up = t - tiles_x
         lo_b = jnp.maximum(up - 1, 0)
         hi_b = jnp.maximum(up + 1, 0)
-        zbuf = jax.lax.cond(
-            up >= 0,
-            lambda z: process_range(
-                starts_ref[base + lo_b], starts_ref[base + hi_b], z
-            ),
-            lambda z: z,
-            zbuf,
+        zbuf = process_range(
+            starts_ref[base + lo_b], starts_ref[base + hi_b], zbuf
         )
         # Overflow bucket: oversized faces every tile scans.
         zbuf = process_range(
