@@ -16,22 +16,22 @@ v5e chip:
    buffer: buckets {t-1, t} and {t-tiles_x-1, t-tiles_x}.
 
 2. **Vertex sorting by select, not gather.** The CUDA-order x-sort of each
-   face's vertices is computed with elementwise ``where`` ladders; the
-   previous ``take_along_axis`` formulation lowered to a 12-byte-row gather
-   that cost more than the entire rasterization kernel.
+   face's vertices is computed with elementwise ``where`` ladders; a
+   ``take_along_axis`` formulation lowers to a 12-byte-row gather that costs
+   more than the entire rasterization kernel.
 
 3. **Kernel.** Grid = (batch,): one program per image. The whole sorted
-   record buffer (FREC x F floats, ~330 KB) rides into VMEM through the
-   normal BlockSpec pipeline (auto double-buffered across grid steps), so the
-   per-tile loop reads records straight from VMEM — no manual DMA, no
-   per-tile program overhead (a (batch x tiles) grid spent ~0.9 us/program of
-   fixed cost, ~100% of kernel time). Each tile min-reduces dense
-   (64 samples x 128 faces) VPU blocks — the exact 8x128 register shape —
-   into its z-buffer slice. No atomics anywhere: the z-test is a lane
+   record buffer rides into VMEM through the normal BlockSpec pipeline (auto
+   double-buffered across grid steps) — no manual DMA, no per-tile program
+   overhead (a (batch x tiles) grid spent ~0.9 us/program of fixed cost).
+   Orientation puts FACES ON SUBLANES and SAMPLES ON LANES: records are
+   (entry, field) blocks, the z-buffer row per tile is a (1, 64) lane vector,
+   and per-tile stores hit dynamic sublane offsets — all shapes Mosaic lays
+   out compactly (a lane-sized-1 layout padded every row to 128 lanes and
+   blew the 16 MB VMEM budget). No atomics anywhere: the z-test is a lane
    reduction (the CUDA original needs a CAS loop, .cu:6-16).
 
-Face record layout (FREC=24 rows x face columns, field-major so a chunk read
-is a (24, 128) aligned block):
+Face record layout (FREC=24 columns per entry row):
   0-2  p0x p1x p2x (x-sorted)     3-5  p0y p1y p2y
   6-8  s01 s12 s02 (edge slopes)  9-10 vert01 vert12 (vertical-edge flags)
   11-13 r0 r1 r2 (1/z)            14-22 barycentric inverse (row-major)
@@ -46,8 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-FREC = 24  # rows per face record
-CHUNK = 128  # faces per compute chunk (lane dimension)
+FREC = 24  # fields per face record
+CHUNK = 128  # faces per compute chunk (sublane dimension)
 TILE_S = 8  # tile edge in samples -> 64 samples/tile
 
 
@@ -80,8 +80,9 @@ def face_setup_fast(face_vertices: jnp.ndarray):
     ) * (x[..., 2] - x[..., 0])
 
     p = _sort_vertices_by_x(face_vertices)
-    px0, px1, px2 = p[..., 0, 0], p[..., 1, 0], p[..., 2, 0]
+    px0, px2 = p[..., 0, 0], p[..., 2, 0]
     py0, py1, py2 = p[..., 0, 1], p[..., 1, 1], p[..., 2, 1]
+    px1 = p[..., 1, 0]
 
     den = px2 * (py0 - py1) + px0 * (py1 - py2) + px1 * (py2 - py0)
     nondegenerate = (px0 != px2) & (den != 0.0)
@@ -94,7 +95,7 @@ def face_setup_fast(face_vertices: jnp.ndarray):
 
 
 def _build_face_records(p, face_inv, valid):
-    """(B, F, 3, 3) sorted verts + inverse + valid -> (B, FREC, F) records."""
+    """(B, F, 3, 3) sorted verts + inverse + valid -> (B, F, FREC) records."""
     px = p[..., 0]
     py = p[..., 1]
     pz = p[..., 2]
@@ -105,7 +106,7 @@ def _build_face_records(p, face_inv, valid):
             dx == 0.0, 0.0, (py[..., b] - py[..., a]) / jnp.where(dx == 0.0, 1.0, dx)
         )
 
-    rows = [
+    cols = [
         px[..., 0], px[..., 1], px[..., 2],
         py[..., 0], py[..., 1], py[..., 2],
         safe_slope(0, 1), safe_slope(1, 2), safe_slope(0, 2),
@@ -114,9 +115,9 @@ def _build_face_records(p, face_inv, valid):
         1.0 / pz[..., 0], 1.0 / pz[..., 1], 1.0 / pz[..., 2],
     ]
     inv_flat = face_inv.reshape(face_inv.shape[:-2] + (9,))
-    rows.extend(inv_flat[..., k] for k in range(9))
-    rows.append(valid.astype(jnp.float32))
-    return jnp.stack(rows, axis=-2)
+    cols.extend(inv_flat[..., k] for k in range(9))
+    cols.append(valid.astype(jnp.float32))
+    return jnp.stack(cols, axis=-1)  # (B, F, FREC)
 
 
 def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
@@ -156,10 +157,10 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
 
 def _raster_kernel(
     starts_ref,  # scalar prefetch: (B*(NT+2),) int32
-    xcoord_ref,  # (NT*64, 1) per-tile sample x (full array in VMEM)
-    ycoord_ref,  # (NT*64, 1)
-    fdata_ref,   # (1, FREC, E) sorted face records (block, auto-pipelined)
-    out_ref,     # (1, NT*64, 1)
+    xcoord_ref,  # (NT, 64) per-tile sample x (full array in VMEM)
+    ycoord_ref,  # (NT, 64)
+    fdata_ref,   # (1, E, FREC) sorted face records (block, auto-pipelined)
+    out_ref,     # (1, NT, 64)
     *,
     num_tiles: int,
     tiles_x: int,
@@ -170,21 +171,26 @@ def _raster_kernel(
     base = b * (num_tiles + 2)
 
     def tile_body(t, _):
-        x = xcoord_ref[pl.ds(t * 64, 64), :]  # (64, 1)
-        y = ycoord_ref[pl.ds(t * 64, 64), :]
+        x = xcoord_ref[t, :][None, :]  # (1, 64)
+        y = ycoord_ref[t, :][None, :]
 
         def process_range(rs, re, zbuf):
-            aligned_rs = (rs // CHUNK) * CHUNK
+            # Sublane tiling is 8: align the window start down to 8.
+            aligned_rs = (rs // 8) * 8
 
             def chunk_body(i, zbuf):
-                off = pl.multiple_of(aligned_rs + i * CHUNK, CHUNK)
-                f = fdata_ref[0, :, pl.ds(off, CHUNK)]  # (FREC, CHUNK) VMEM read
-                p0x, p1x, p2x = f[0][None], f[1][None], f[2][None]
-                p0y, p1y, p2y = f[3][None], f[4][None], f[5][None]
-                s01, s12, s02 = f[6][None], f[7][None], f[8][None]
-                vert01, vert12 = f[9][None] > 0.5, f[10][None] > 0.5
-                r0, r1, r2 = f[11][None], f[12][None], f[13][None]
-                valid = f[23][None] > 0.5
+                off = pl.multiple_of(aligned_rs + i * CHUNK, 8)
+                f = fdata_ref[0, pl.ds(off, CHUNK), :]  # (CHUNK, FREC)
+
+                def col(k):
+                    return f[:, k][:, None]  # (CHUNK, 1), broadcasts over lanes
+
+                p0x, p1x, p2x = col(0), col(1), col(2)
+                p0y, p1y, p2y = col(3), col(4), col(5)
+                s01, s12, s02 = col(6), col(7), col(8)
+                vert01, vert12 = col(9) > 0.5, col(10) > 0.5
+                r0, r1, r2 = col(11), col(12), col(13)
+                valid = col(23) > 0.5
 
                 e01 = s01 * (x - p0x) + p0y
                 e12 = s12 * (x - p1x) + p1y
@@ -200,13 +206,13 @@ def _raster_kernel(
                     x <= jnp.trunc(jnp.minimum(p2x, width - 1.0))
                 )
 
-                w0 = jnp.clip(f[14][None] * x + f[15][None] * y + f[16][None], 0.0, 1.0)
-                w1 = jnp.clip(f[17][None] * x + f[18][None] * y + f[19][None], 0.0, 1.0)
-                w2 = jnp.clip(f[20][None] * x + f[21][None] * y + f[22][None], 0.0, 1.0)
+                w0 = jnp.clip(col(14) * x + col(15) * y + col(16), 0.0, 1.0)
+                w1 = jnp.clip(col(17) * x + col(18) * y + col(19), 0.0, 1.0)
+                w2 = jnp.clip(col(20) * x + col(21) * y + col(22), 0.0, 1.0)
                 w_sum = w0 + w1 + w2
                 depth = w_sum / (w0 * r0 + w1 * r1 + w2 * r2)
 
-                entry = off + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                entry = off + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                 cover = (
                     valid
                     & (entry >= rs)
@@ -217,33 +223,30 @@ def _raster_kernel(
                     & (w_sum > 0.0)
                     & ~jnp.isnan(depth)
                 )
-                depth = jnp.where(cover, depth, 1000.0)
-                return jnp.minimum(zbuf, jnp.min(depth, axis=1, keepdims=True))
+                depth = jnp.where(cover, depth, 1000.0)  # (CHUNK, 64)
+                return jnp.minimum(zbuf, jnp.min(depth, axis=0, keepdims=True))
 
             n_chunks = jnp.where(
                 re > rs, pl.cdiv(jnp.maximum(re - aligned_rs, 0), CHUNK), 0
             )
             return jax.lax.fori_loop(0, n_chunks, chunk_body, zbuf)
 
-        zbuf = jnp.full((64, 1), 1000.0, jnp.float32)
+        zbuf = jnp.full((1, 64), 1000.0, jnp.float32)
         # Window over buckets {t-1, t}: faces whose bbox low corner is this
         # tile or its left neighbor.
         lo_a = jnp.maximum(t - 1, 0)
         zbuf = process_range(starts_ref[base + lo_a], starts_ref[base + t + 1], zbuf)
         # Window over buckets {t-tiles_x-1, t-tiles_x}: the row above. For
-        # top-row tiles the clamped window degenerates to [starts[0],
-        # starts[0]) — empty — so no branch is needed.
+        # top-row tiles the clamped window degenerates to an empty range.
         up = t - tiles_x
         lo_b = jnp.maximum(up - 1, 0)
         hi_b = jnp.maximum(up + 1, 0)
-        zbuf = process_range(
-            starts_ref[base + lo_b], starts_ref[base + hi_b], zbuf
-        )
+        zbuf = process_range(starts_ref[base + lo_b], starts_ref[base + hi_b], zbuf)
         # Overflow bucket: oversized faces every tile scans.
         zbuf = process_range(
             starts_ref[base + num_tiles], starts_ref[base + num_tiles + 1], zbuf
         )
-        out_ref[0, pl.ds(t * 64, 64), :] = zbuf
+        out_ref[0, t, :] = zbuf[0]
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
@@ -296,46 +299,44 @@ def rasterize_depth_binned(
         axis=-1,
     )  # (B, NT+2)
 
-    fdata = _build_face_records(p, face_inv, valid)  # (B, FREC, F)
-    # Gather whole 96-byte records (rows of the transposed layout), then
-    # transpose back to field-major for aligned (FREC, CHUNK) reads.
-    rec_rows = fdata.transpose(0, 2, 1)  # (B, F, FREC)
-    gathered = jnp.take_along_axis(rec_rows, order[:, :, None], axis=1)
-    fdata_sorted = gathered.transpose(0, 2, 1)  # (B, FREC, F)
-    pad = (-fdata_sorted.shape[-1]) % CHUNK + CHUNK
-    fdata_sorted = jnp.pad(fdata_sorted, ((0, 0), (0, 0), (0, pad)))
+    # Records in (entry, field) orientation — whole 96-byte-row gather, no
+    # transposes, and the kernel's natural sublane-major layout.
+    fdata = _build_face_records(p, face_inv, valid)  # (B, F, FREC)
+    fdata_sorted = jnp.take_along_axis(fdata, order[:, :, None], axis=1)
+    pad = (-fdata_sorted.shape[1]) % CHUNK + CHUNK
+    fdata_sorted = jnp.pad(fdata_sorted, ((0, 0), (0, pad), (0, 0)))
 
-    # Per-tile sample coordinate tables (NT*64, 1), sample s = yi*TILE_S + xi.
+    # Per-tile sample coordinate tables (NT, 64), sample s = yi*TILE_S + xi.
     shape4 = (tiles_y, tiles_x, TILE_S, TILE_S)
     xcoords = jnp.broadcast_to(
         sample_x.reshape(1, tiles_x, 1, TILE_S), shape4
-    ).reshape(num_tiles * TILE_S * TILE_S, 1)
+    ).reshape(num_tiles, TILE_S * TILE_S)
     ycoords = jnp.broadcast_to(
         sample_y.reshape(tiles_y, 1, TILE_S, 1), shape4
-    ).reshape(num_tiles * TILE_S * TILE_S, 1)
+    ).reshape(num_tiles, TILE_S * TILE_S)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch,),
         in_specs=[
             pl.BlockSpec(
-                (num_tiles * TILE_S * TILE_S, 1),
+                (num_tiles, TILE_S * TILE_S),
                 lambda b, s: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (num_tiles * TILE_S * TILE_S, 1),
+                (num_tiles, TILE_S * TILE_S),
                 lambda b, s: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, FREC, fdata_sorted.shape[-1]),
+                (1, fdata_sorted.shape[1], FREC),
                 lambda b, s: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, num_tiles * TILE_S * TILE_S, 1),
+            (1, num_tiles, TILE_S * TILE_S),
             lambda b, s: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -350,7 +351,7 @@ def rasterize_depth_binned(
     tile_depths = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (batch, num_tiles * TILE_S * TILE_S, 1), jnp.float32
+            (batch, num_tiles, TILE_S * TILE_S), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -361,7 +362,7 @@ def rasterize_depth_binned(
         fdata_sorted,
     )
 
-    # (B, NT*64, 1) -> (B, Sy, Sx): tile t covers rows ty*8..+8, cols tx*8..+8.
+    # (B, NT, 64) -> (B, Sy, Sx): tile t covers rows ty*8..+8, cols tx*8..+8.
     out = tile_depths.reshape(batch, tiles_y, tiles_x, TILE_S, TILE_S)
     return out.transpose(0, 1, 3, 2, 4).reshape(
         batch, tiles_y * TILE_S, tiles_x * TILE_S

@@ -77,3 +77,33 @@ def _leaves(tree):
     import jax
 
     return jax.tree.leaves(tree)
+
+
+@pytest.mark.slow
+def test_engine_synthetic_only_epoch(tmp_path):
+    """Synthetic-only pretraining path (engine.py:265-316 equivalent)."""
+    from spherehand_tpu.train.engine import Engine
+
+    cfg = EngineConfig(
+        mode="Train",
+        model_dir=str(tmp_path / "runs"),
+        dataset_dir=str(tmp_path / "none"),  # must not be touched
+        epoch=1,
+        num_stacks=1,
+        synt_batch=4,
+        synt_iters_per_epoch=2,
+        # disable all real-data losses -> synthetic-only mode
+        mv_projection=False,
+        mv_consistency=False,
+        prior=False,
+        collision=False,
+        bone_length=False,
+        tag="s_",
+    )
+    engine = Engine(cfg)
+    assert not cfg.with_real
+    engine.train()
+    assert int(engine.state.step) == 2
+    with open(os.path.join(engine.model_path, "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert any(r["mode"] == "synt" for r in records)
