@@ -2,6 +2,7 @@
 
 from spherehand_tpu.hand.assets import HandModel, load_hand_model  # noqa: F401
 from spherehand_tpu.hand.kinematics import forward_kinematics  # noqa: F401
+from spherehand_tpu.hand.skeleton import skeleton_fk  # noqa: F401
 from spherehand_tpu.hand.skinning import (  # noqa: F401
     apply_random_scale,
     inverse_orthographic,

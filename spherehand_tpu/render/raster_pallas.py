@@ -155,12 +155,15 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
     return keys.astype(jnp.int32), num_tiles
 
 
+QUAD = 4  # tiles processed per loop iteration (4 x 64 samples = 256 lanes)
+
+
 def _raster_kernel(
     starts_ref,  # scalar prefetch: (B*(NT+2),) int32
-    xcoord_ref,  # (NT, 64) per-tile sample x (full array in VMEM)
-    ycoord_ref,  # (NT, 64)
+    xcoord_ref,  # (NT/QUAD, QUAD*64) per-quad sample x (full array in VMEM)
+    ycoord_ref,  # (NT/QUAD, QUAD*64)
     fdata_ref,   # (1, E, FREC) sorted face records (block, auto-pipelined)
-    out_ref,     # (1, NT, 64)
+    out_ref,     # (1, NT/QUAD, QUAD*64)
     *,
     num_tiles: int,
     tiles_x: int,
@@ -169,10 +172,12 @@ def _raster_kernel(
 ):
     b = pl.program_id(0)
     base = b * (num_tiles + 2)
+    lanes = QUAD * TILE_S * TILE_S
 
-    def tile_body(t, _):
-        x = xcoord_ref[t, :][None, :]  # (1, 64)
-        y = ycoord_ref[t, :][None, :]
+    def quad_body(q, _):
+        t0 = q * QUAD
+        x = xcoord_ref[q, :][None, :]  # (1, lanes)
+        y = ycoord_ref[q, :][None, :]
 
         def process_range(rs, re, zbuf):
             # Sublane tiling is 8: align the window start down to 8.
@@ -223,7 +228,7 @@ def _raster_kernel(
                     & (w_sum > 0.0)
                     & ~jnp.isnan(depth)
                 )
-                depth = jnp.where(cover, depth, 1000.0)  # (CHUNK, 64)
+                depth = jnp.where(cover, depth, 1000.0)  # (CHUNK, lanes)
                 return jnp.minimum(zbuf, jnp.min(depth, axis=0, keepdims=True))
 
             n_chunks = jnp.where(
@@ -231,25 +236,32 @@ def _raster_kernel(
             )
             return jax.lax.fori_loop(0, n_chunks, chunk_body, zbuf)
 
-        zbuf = jnp.full((1, 64), 1000.0, jnp.float32)
-        # Window over buckets {t-1, t}: faces whose bbox low corner is this
-        # tile or its left neighbor.
-        lo_a = jnp.maximum(t - 1, 0)
-        zbuf = process_range(starts_ref[base + lo_a], starts_ref[base + t + 1], zbuf)
-        # Window over buckets {t-tiles_x-1, t-tiles_x}: the row above. For
-        # top-row tiles the clamped window degenerates to an empty range.
-        up = t - tiles_x
-        lo_b = jnp.maximum(up - 1, 0)
-        hi_b = jnp.maximum(up + 1, 0)
-        zbuf = process_range(starts_ref[base + lo_b], starts_ref[base + hi_b], zbuf)
-        # Overflow bucket: oversized faces every tile scans.
-        zbuf = process_range(
-            starts_ref[base + num_tiles], starts_ref[base + num_tiles + 1], zbuf
-        )
-        out_ref[0, t, :] = zbuf[0]
+        # Windows: faces relevant to tiles t0..t0+3 have their bbox low
+        # corner in buckets {t0-1 .. t0+3} (this row, contiguous) or
+        # {t0-tiles_x-1 .. t0-tiles_x+3} (the row above); for top-row quads
+        # the clamped upper window degenerates to an empty range.
+        rs_a = starts_ref[base + jnp.maximum(t0 - 1, 0)]
+        re_a = starts_ref[base + t0 + QUAD]
+        up = t0 - tiles_x
+        rs_b = starts_ref[base + jnp.maximum(up - 1, 0)]
+        re_b = starts_ref[base + jnp.maximum(up + QUAD, 0)]
+        rs_c = starts_ref[base + num_tiles]
+        re_c = starts_ref[base + num_tiles + 1]
+
+        out_ref[0, q, :] = jnp.full((lanes,), 1000.0, jnp.float32)
+        work = (re_a > rs_a) | (re_b > rs_b) | (re_c > rs_c)
+
+        @pl.when(work)
+        def _():
+            zbuf = jnp.full((1, lanes), 1000.0, jnp.float32)
+            zbuf = process_range(rs_a, re_a, zbuf)
+            zbuf = process_range(rs_b, re_b, zbuf)
+            zbuf = process_range(rs_c, re_c, zbuf)
+            out_ref[0, q, :] = zbuf[0]
+
         return 0
 
-    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+    jax.lax.fori_loop(0, num_tiles // QUAD, quad_body, 0)
 
 
 @functools.partial(
@@ -306,26 +318,31 @@ def rasterize_depth_binned(
     pad = (-fdata_sorted.shape[1]) % CHUNK + CHUNK
     fdata_sorted = jnp.pad(fdata_sorted, ((0, 0), (0, pad), (0, 0)))
 
-    # Per-tile sample coordinate tables (NT, 64), sample s = yi*TILE_S + xi.
+    # Per-quad sample coordinate tables (NT/QUAD, QUAD*64): quads are 4
+    # consecutive row-major tiles, so the quad rows are just a reshape of the
+    # per-tile (NT, 64) table.
+    assert tiles_x % QUAD == 0
+    samples_per_tile = TILE_S * TILE_S
     shape4 = (tiles_y, tiles_x, TILE_S, TILE_S)
+    num_quads = num_tiles // QUAD
     xcoords = jnp.broadcast_to(
         sample_x.reshape(1, tiles_x, 1, TILE_S), shape4
-    ).reshape(num_tiles, TILE_S * TILE_S)
+    ).reshape(num_quads, QUAD * samples_per_tile)
     ycoords = jnp.broadcast_to(
         sample_y.reshape(tiles_y, 1, TILE_S, 1), shape4
-    ).reshape(num_tiles, TILE_S * TILE_S)
+    ).reshape(num_quads, QUAD * samples_per_tile)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch,),
         in_specs=[
             pl.BlockSpec(
-                (num_tiles, TILE_S * TILE_S),
+                (num_quads, QUAD * samples_per_tile),
                 lambda b, s: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (num_tiles, TILE_S * TILE_S),
+                (num_quads, QUAD * samples_per_tile),
                 lambda b, s: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -336,7 +353,7 @@ def rasterize_depth_binned(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, num_tiles, TILE_S * TILE_S),
+            (1, num_quads, QUAD * samples_per_tile),
             lambda b, s: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -351,7 +368,7 @@ def rasterize_depth_binned(
     tile_depths = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (batch, num_tiles, TILE_S * TILE_S), jnp.float32
+            (batch, num_quads, QUAD * samples_per_tile), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -362,7 +379,7 @@ def rasterize_depth_binned(
         fdata_sorted,
     )
 
-    # (B, NT, 64) -> (B, Sy, Sx): tile t covers rows ty*8..+8, cols tx*8..+8.
+    # (B, NQ, QUAD*64) -> (B, Sy, Sx): tile t covers rows ty*8..+8, cols tx*8..+8.
     out = tile_depths.reshape(batch, tiles_y, tiles_x, TILE_S, TILE_S)
     return out.transpose(0, 1, 3, 2, 4).reshape(
         batch, tiles_y * TILE_S, tiles_x * TILE_S
