@@ -155,7 +155,7 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
     return keys.astype(jnp.int32), num_tiles
 
 
-QUAD = 8  # tiles processed per loop iteration (8 x 64 samples = 512 lanes)
+QUAD = 4  # tiles processed per loop iteration (4 x 64 samples = 256 lanes)
 
 
 def _raster_kernel(
