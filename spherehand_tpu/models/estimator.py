@@ -42,8 +42,16 @@ class EstimatorOutput(NamedTuple):
     real_latent: tuple  # each (Br*V, h, w, C)
 
 
-def make_network(num_stacks: int) -> HourglassNet:
-    return HourglassNet(num_stacks=num_stacks, num_outputs=2 * _C.num_joints)
+def make_network(num_stacks: int, dtype=None) -> HourglassNet:
+    """dtype: conv compute dtype; jnp.bfloat16 drives the MXU at full rate
+    while heads, soft-argmax, and the loss stack stay float32."""
+    import jax.numpy as jnp
+
+    return HourglassNet(
+        num_stacks=num_stacks,
+        num_outputs=2 * _C.num_joints,
+        dtype=dtype or jnp.float32,
+    )
 
 
 def _split_scores(score_nhwc: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

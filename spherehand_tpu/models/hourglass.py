@@ -35,31 +35,36 @@ class TorchConv(nn.Conv):
 
 
 class Bottleneck(nn.Module):
-    """Pre-activation GroupNorm bottleneck, expansion 2 (hourglass.py:7-41)."""
+    """Pre-activation GroupNorm bottleneck, expansion 2 (hourglass.py:7-41).
+
+    ``dtype`` sets the conv compute dtype (bfloat16 drives the MXU at full
+    rate); GroupNorm statistics stay float32 for stability.
+    """
 
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn1")(x)
         y = nn.relu(y)
-        y = TorchConv(self.planes, (1, 1), name="conv1")(y)
+        y = TorchConv(self.planes, (1, 1), dtype=self.dtype, name="conv1")(y)
         y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn2")(y)
         y = nn.relu(y)
         y = TorchConv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=1, name="conv2",
+            padding=1, dtype=self.dtype, name="conv2",
         )(y)
         y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn3")(y)
         y = nn.relu(y)
-        y = TorchConv(self.planes * 2, (1, 1), name="conv3")(y)
-        residual = x
+        y = TorchConv(self.planes * 2, (1, 1), dtype=self.dtype, name="conv3")(y)
+        residual = x.astype(y.dtype)
         if self.downsample:
             residual = TorchConv(
                 self.planes * 2, (1, 1), strides=(self.stride, self.stride),
-                name="down",
+                dtype=self.dtype, name="down",
             )(x)
         return y + residual
 
@@ -79,13 +84,16 @@ class Hourglass(nn.Module):
 
     planes: int = 128
     depth: int = 2
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         blocks = {}
         for i in range(self.depth):
             n_res = 4 if i == 0 else 3
             for j in range(n_res):
-                blocks[f"b{i}_{j}"] = Bottleneck(self.planes, name=f"b{i}_{j}")
+                blocks[f"b{i}_{j}"] = Bottleneck(
+                    self.planes, dtype=self.dtype, name=f"b{i}_{j}"
+                )
         self.blocks = blocks
 
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -114,33 +122,36 @@ class HourglassNet(nn.Module):
     num_stacks: int = 2
     num_outputs: int = 82
     feats: int = 128
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple[list[jnp.ndarray], list[jnp.ndarray]]:
         if x.ndim == 3:
             x = x[..., None]  # (B, H, W) depth map -> single channel
         ch = self.feats * 2
-        x = TorchConv(64, (5, 5), strides=(2, 2), padding=2, name="conv1")(x)
+        dt = self.dtype
+        x = TorchConv(64, (5, 5), strides=(2, 2), padding=2, dtype=dt, name="conv1")(x)
         x = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="gn1")(x)
         x = nn.relu(x)
-        x = Bottleneck(64, downsample=True, name="layer1")(x)
+        x = Bottleneck(64, downsample=True, dtype=dt, name="layer1")(x)
         x = _max_pool2(x)
-        x = Bottleneck(128, downsample=True, name="layer2")(x)
-        x = Bottleneck(self.feats, name="layer3")(x)
+        x = Bottleneck(128, downsample=True, dtype=dt, name="layer2")(x)
+        x = Bottleneck(self.feats, dtype=dt, name="layer3")(x)
 
         scores, latents = [], []
         for i in range(self.num_stacks):
-            y, latent = Hourglass(self.feats, name=f"hg{i}")(x)
-            y = Bottleneck(self.feats, name=f"res{i}")(y)
-            y = TorchConv(ch, (1, 1), name=f"fc_conv{i}")(y)
+            y, latent = Hourglass(self.feats, dtype=dt, name=f"hg{i}")(x)
+            y = Bottleneck(self.feats, dtype=dt, name=f"res{i}")(y)
+            y = TorchConv(ch, (1, 1), dtype=dt, name=f"fc_conv{i}")(y)
             y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name=f"fc_gn{i}")(y)
             y = nn.relu(y)
-            score = TorchConv(self.num_outputs, (1, 1), name=f"score{i}")(y)
-            scores.append(score)
-            latents.append(latent)
+            score = TorchConv(self.num_outputs, (1, 1), dtype=dt, name=f"score{i}")(y)
+            # heads and everything downstream (soft-argmax, losses) stay f32
+            scores.append(score.astype(jnp.float32))
+            latents.append(latent.astype(jnp.float32))
             if i < self.num_stacks - 1:
-                fc_ = TorchConv(ch, (1, 1), name=f"inter_fc{i}")(y)
-                score_ = TorchConv(ch, (1, 1), name=f"inter_score{i}")(score)
+                fc_ = TorchConv(ch, (1, 1), dtype=dt, name=f"inter_fc{i}")(y)
+                score_ = TorchConv(ch, (1, 1), dtype=dt, name=f"inter_score{i}")(score)
                 x = x + fc_ + score_
         return scores, latents
 

@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_batch", default=8, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--no_data_parallel", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv compute (params and losses stay f32)")
     return p
 
 
@@ -71,6 +73,7 @@ def config_from_args(args: argparse.Namespace) -> EngineConfig:
         eval_batch=args.eval_batch,
         seed=args.seed,
         data_parallel=not args.no_data_parallel,
+        bf16=args.bf16,
     )
 
 

@@ -49,6 +49,7 @@ class EngineConfig:
     seed: int = 0
     weight_decay: float = 1e-5
     data_parallel: bool = True  # shard batches over all local devices
+    bf16: bool = False  # bfloat16 conv compute (params/losses stay f32)
 
     @property
     def loss_config(self) -> LossConfig:

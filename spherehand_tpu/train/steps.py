@@ -74,7 +74,9 @@ def make_optimizer(weight_decay: float = 1e-5) -> optax.GradientTransformation:
 
 def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
     """Construct the jitted step functions, closed over static config/assets."""
-    network = make_network(cfg.num_stacks)
+    network = make_network(
+        cfg.num_stacks, dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32
+    )
     loss_cfg = cfg.loss_config
     tx = make_optimizer(cfg.weight_decay)
     vae_params = load_pose_vae_params() if cfg.prior else None

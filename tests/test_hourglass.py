@@ -34,3 +34,19 @@ def test_hourglass_init_and_shapes():
     scores, latents = net.apply(params, x)
     assert scores[0].shape == (2, 16, 16, 82)
     assert latents[0].shape == (2, 4, 4, 256)
+
+
+def test_hourglass_bf16_close_to_f32():
+    import jax.numpy as jnp
+
+    net32 = HourglassNet(num_stacks=1, num_outputs=82)
+    net16 = HourglassNet(num_stacks=1, num_outputs=82, dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.RandomState(0).uniform(0, 1, (2, 64, 64)), jnp.float32)
+    params = net32.init(jax.random.key(1), x)["params"]
+    s32, l32 = net32.apply({"params": params}, x)
+    s16, l16 = net16.apply({"params": params}, x)
+    assert s16[0].dtype == jnp.float32  # heads cast back to f32
+    # bf16 has ~3 decimal digits; scores are O(0.1)
+    np.testing.assert_allclose(
+        np.asarray(s16[0]), np.asarray(s32[0]), atol=0.05
+    )
