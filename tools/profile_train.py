@@ -33,11 +33,14 @@ from spherehand_tpu.train.steps import RealBatch, build_steps
 def main():
     synt_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     real_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    cfg = EngineConfig(synt_batch=synt_batch, real_batch=real_batch, num_stacks=1)
+    bf16 = "bf16" in sys.argv[3:]
+    cfg = EngineConfig(
+        synt_batch=synt_batch, real_batch=real_batch, num_stacks=1, bf16=bf16
+    )
     hand = load_hand_model()
     steps = build_steps(cfg, hand)
     state = steps.init_state(jax.random.key(0))
-    print(f"device: {jax.devices()[0]}, synt={synt_batch}, real={real_batch}x3")
+    print(f"device: {jax.devices()[0]}, synt={synt_batch}, real={real_batch}x3, bf16={bf16}")
 
     rng = np.random.RandomState(0)
     dms = np.full((real_batch, 3, 64, 64), 100.0, np.float32)
