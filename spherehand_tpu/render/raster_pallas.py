@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FREC = 24  # fields per face record
-CHUNK = 256  # faces per compute chunk (sublane dimension)
+CHUNK = 128  # faces per compute chunk (sublane dimension)
 TILE_S = 8  # tile edge in samples -> 64 samples/tile
 
 
