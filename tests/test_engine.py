@@ -107,3 +107,29 @@ def test_engine_synthetic_only_epoch(tmp_path):
     with open(os.path.join(engine.model_path, "metrics.jsonl")) as f:
         records = [json.loads(line) for line in f]
     assert any(r["mode"] == "synt" for r in records)
+
+
+@pytest.mark.slow
+def test_engine_real_only_epoch(tmp_path):
+    """Real-data-only self-supervised path (engine.py:150-263, Train mode)."""
+    from spherehand_tpu.train.engine import Engine
+
+    data_dir = str(tmp_path / "nyu")
+    _write_fake_nyu(data_dir, "train")
+    cfg = EngineConfig(
+        mode="Train",
+        model_dir=str(tmp_path / "runs"),
+        dataset_dir=data_dir,
+        epoch=1,
+        num_stacks=1,
+        eval_batch=2,  # real-only epoch uses bs=8 default; use 2 here
+        synthesize=False,
+        tag="r_",
+    )
+    engine = Engine(cfg)
+    assert cfg.with_real and not cfg.synthesize
+    engine.train()
+    assert int(engine.state.step) == 2
+    with open(os.path.join(engine.model_path, "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert any(r["mode"] == "real" and np.isfinite(r["loss"]) for r in records)
