@@ -35,12 +35,13 @@ def main():
     steps_n = int(sys.argv[1]) if len(sys.argv) > 1 else 75_000
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 48
     out_dir = sys.argv[3] if len(sys.argv) > 3 else "runs/synthetic_full"
-    cfg = EngineConfig(synt_batch=batch, num_stacks=1, epoch=75)
+    bf16 = "bf16" in sys.argv[4:]
+    cfg = EngineConfig(synt_batch=batch, num_stacks=1, epoch=75, bf16=bf16)
     hand = load_hand_model()
     steps = build_steps(cfg, hand)
     state = steps.init_state(jax.random.key(0))
     step = jax.jit(steps.synt_step, donate_argnums=0)
-    print(f"device: {jax.devices()[0]}, {steps_n} steps @ batch {batch}")
+    print(f"device: {jax.devices()[0]}, {steps_n} steps @ batch {batch}, bf16={bf16}")
 
     t0 = time.perf_counter()
     history = []
