@@ -74,6 +74,23 @@ class PoseEstimator:
         return np.asarray(joints), np.asarray(heatmaps)
 
 
+def load_params_npz(path: str) -> dict:
+    """Load flax params from a flattened 'a/b/c'-keyed .npz archive
+    (the release-artifact format written by train.priors.save_flax_params_npz;
+    see assets/pretrained/synthetic_params.npz)."""
+    import numpy as np
+
+    raw = np.load(path)
+    tree: dict = {}
+    for key in raw.files:
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = raw[key]
+    return tree
+
+
 def load_estimator(
     checkpoint_path: str, num_stacks: int = 1, denoise: bool = True
 ) -> PoseEstimator:

@@ -53,3 +53,34 @@ def test_load_estimator_from_checkpoint(tmp_path):
     dms = np.full((1, 64, 64), 100.0, np.float32)
     joints = est.predict(dms)
     assert joints.shape == (1, 41, 3)
+
+
+def test_pretrained_synthetic_artifact():
+    """The shipped synthetic-pretrained params predict sensible joints."""
+    import os
+
+    from spherehand_tpu.infer import load_params_npz
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "assets", "pretrained",
+        "synthetic_params.npz",
+    )
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("pretrained artifact not present")
+    params = load_params_npz(path)
+    est = PoseEstimator(params, num_stacks=1, denoise=False)
+    # render a real posed hand and check the estimate is in-range
+    import jax
+
+    from spherehand_tpu.data.sampler import sample_poses
+    from spherehand_tpu.data.synthesizer import synthesize
+    from spherehand_tpu.hand.assets import load_hand_model
+
+    hand = load_hand_model()
+    poses = sample_poses(jax.random.key(123456), 4)
+    synt = synthesize(hand, jax.random.key(2), poses, add_noise=False)
+    joints = est.predict(np.asarray(synt.dms) * 100.0)
+    err = np.linalg.norm(joints - np.asarray(synt.xyz), axis=-1).mean()
+    assert err < 25.0, f"pretrained artifact error {err:.1f} mm"
