@@ -78,16 +78,14 @@ def load_params_npz(path: str) -> dict:
     """Load flax params from a flattened 'a/b/c'-keyed .npz archive
     (the release-artifact format written by train.priors.save_flax_params_npz;
     see assets/pretrained/synthetic_params.npz)."""
-    import numpy as np
-
-    raw = np.load(path)
     tree: dict = {}
-    for key in raw.files:
-        node = tree
-        parts = key.split("/")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = raw[key]
+    with np.load(path) as raw:
+        for key in raw.files:
+            node = tree
+            parts = key.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = raw[key]
     return tree
 
 

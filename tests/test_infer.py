@@ -72,8 +72,6 @@ def test_pretrained_synthetic_artifact():
     params = load_params_npz(path)
     est = PoseEstimator(params, num_stacks=1, denoise=False)
     # render a real posed hand and check the estimate is in-range
-    import jax
-
     from spherehand_tpu.data.sampler import sample_poses
     from spherehand_tpu.data.synthesizer import synthesize
     from spherehand_tpu.hand.assets import load_hand_model
