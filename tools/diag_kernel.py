@@ -147,12 +147,14 @@ def stub_raster(face_vertices, sample_x, sample_y, tiles_x=16, tiles_y=16):
     )(starts.reshape(-1), xcoords, ycoords, fdata_sorted)
 
 
-def timeit(fn, *args, iters=10, label=""):
-    out = fn(*args)
+def timeit(fn, variants, iters=10, label=""):
+    """variants: list of distinct input arrays — identical repeated inputs can
+    be served from the execution relay's cache and time as ~0."""
+    out = fn(variants[0])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    for i in range(iters):
+        out = fn(variants[i % len(variants)])
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{label:30s} {dt * 1e3:9.3f} ms")
@@ -161,21 +163,37 @@ def timeit(fn, *args, iters=10, label=""):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     model = load_hand_model()
-    params = sample_poses(jax.random.key(0), batch)
-    tr = forward_kinematics(model, params)
-    verts = lbs_mesh(model, tr)
-    proj = orthographic_project(verts, 640.0)
-    fv = proj[:, model.faces.reshape(-1), :3].reshape(batch, model.num_faces, 3, 3)
+    variants = []
+    for k in range(4):
+        params = sample_poses(jax.random.key(k), batch)
+        tr = forward_kinematics(model, params)
+        verts = lbs_mesh(model, tr)
+        proj = orthographic_project(verts, 640.0)
+        variants.append(
+            proj[:, model.faces.reshape(-1), :3].reshape(
+                batch, model.num_faces, 3, 3
+            )
+        )
     samples = jnp.asarray(raster.bilinear_sample_positions(64, 10))
     print(f"device: {jax.devices()[0]}, batch={batch}")
     timeit(
-        lambda v: rp.rasterize_depth_binned(v, samples, samples), fv,
+        lambda v: rp.rasterize_depth_binned(v, samples, samples), variants,
         label="full kernel pipeline",
     )
     timeit(
-        lambda v: stub_raster(v, samples, samples), fv,
+        lambda v: stub_raster(v, samples, samples), variants,
         label="stub-compute pipeline",
     )
+    # Wall timings through the execution relay are unreliable for pre-staged
+    # inputs; the device trace is ground truth.
+    with jax.profiler.trace("/tmp/diagtrace"):
+        for k in range(3):
+            a = rp.rasterize_depth_binned(variants[k], samples, samples)
+        jax.block_until_ready(a)
+        for k in range(3):
+            b = stub_raster(variants[k], samples, samples)
+        jax.block_until_ready(b)
+    print("trace written to /tmp/diagtrace")
 
 
 if __name__ == "__main__":
