@@ -210,6 +210,7 @@ def render_depth_64(
     rand_f: jnp.ndarray | None = None,
     out_size: int = 64,
     backend: str = "auto",
+    exact: bool = False,
 ) -> jnp.ndarray:
     """Bone transforms -> 64x64 depth maps in mm, reference-parity path.
 
@@ -219,6 +220,10 @@ def render_depth_64(
 
     backend: "pallas" (tile-binned kernel, the production TPU path), "xla"
     (brute-force scan, the oracle/fallback), or "auto" (pallas on TPU).
+    exact: scanline-span coverage bit-matching the reference CUDA kernel
+    (always used by the xla backend); False selects the pallas kernel's
+    half-plane fast mode — identical depths, boundary pixels may differ —
+    at ~1/3 the coverage math (the training-data production default).
     """
     scale = _C.raster_size // out_size
     verts = lbs_mesh(model, transforms)  # (B, V, 4)
@@ -235,7 +240,7 @@ def render_depth_64(
         zbuf = rasterize_depth_binned(
             face_verts, samples, samples,
             width=_C.raster_size, height=_C.raster_size,
-            tiles_x=tiles, tiles_y=tiles,
+            tiles_x=tiles, tiles_y=tiles, exact=exact,
         )
     else:
         zbuf = rasterize_depth(

@@ -169,6 +169,7 @@ def _raster_kernel(
     tiles_x: int,
     width: int,
     height: int,
+    exact: bool,
 ):
     b = pl.program_id(0)
     base = b * (num_tiles + 2)
@@ -183,7 +184,8 @@ def _raster_kernel(
             # Sublane tiling is 8: align the window start down to 8.
             aligned_rs = (rs // 8) * 8
 
-            def chunk_body(i, zbuf):
+            def chunk_exact(i, zbuf):
+                """CUDA scanline-span semantics (the parity mode)."""
                 off = pl.multiple_of(aligned_rs + i * CHUNK, 8)
                 f = fdata_ref[0, pl.ds(off, CHUNK), :]  # (CHUNK, FREC)
 
@@ -231,6 +233,36 @@ def _raster_kernel(
                 depth = jnp.where(cover, depth, 1000.0)  # (CHUNK, lanes)
                 return jnp.minimum(zbuf, jnp.min(depth, axis=0, keepdims=True))
 
+            def chunk_fast(i, zbuf):
+                """Half-plane coverage: raw barycentrics all >= 0. Exact
+                interpolation everywhere it agrees with the span rule; the two
+                differ only at triangle-boundary pixels (sub-pixel silhouette
+                detail already blurred by the 2x2 downsample). ~1/3 of the
+                exact mode's op count — the training-data production path."""
+                off = pl.multiple_of(aligned_rs + i * CHUNK, 8)
+                f = fdata_ref[0, pl.ds(off, CHUNK), :]
+
+                def col(k):
+                    return f[:, k][:, None]
+
+                w0 = col(14) * x + col(15) * y + col(16)
+                w1 = col(17) * x + col(18) * y + col(19)
+                w2 = col(20) * x + col(21) * y + col(22)
+                q_inv = w0 * col(11) + w1 * col(12) + w2 * col(13)
+                depth = 1.0 / q_inv  # sum(w) == 1 for true barycentrics
+
+                entry = off + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+                cover = (
+                    (col(23) > 0.5)
+                    & (entry >= rs)
+                    & (entry < re)
+                    & (jnp.minimum(jnp.minimum(w0, w1), w2) >= 0.0)
+                    & ~jnp.isnan(depth)
+                )
+                depth = jnp.where(cover, depth, 1000.0)
+                return jnp.minimum(zbuf, jnp.min(depth, axis=0, keepdims=True))
+
+            chunk_body = chunk_exact if exact else chunk_fast
             n_chunks = jnp.where(
                 re > rs, pl.cdiv(jnp.maximum(re - aligned_rs, 0), CHUNK), 0
             )
@@ -266,7 +298,9 @@ def _raster_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tiles_x", "tiles_y", "interpret"),
+    static_argnames=(
+        "width", "height", "tiles_x", "tiles_y", "interpret", "exact"
+    ),
 )
 def rasterize_depth_binned(
     face_vertices: jnp.ndarray,
@@ -277,6 +311,7 @@ def rasterize_depth_binned(
     tiles_x: int = 16,
     tiles_y: int = 16,
     interpret: bool = False,
+    exact: bool = True,
 ) -> jnp.ndarray:
     """Tile-binned Pallas rasterization at integer sample positions.
 
@@ -364,6 +399,7 @@ def rasterize_depth_binned(
         tiles_x=tiles_x,
         width=width,
         height=height,
+        exact=exact,
     )
     tile_depths = pl.pallas_call(
         kernel,

@@ -55,3 +55,24 @@ def test_binned_handles_offscreen_and_degenerate(hand_model):
     )
     np.testing.assert_allclose(ours, ref, atol=1e-3)
     assert (ref == 70.0).any() and (ref == 40.0).any()
+
+
+def test_fast_mode_statistically_matches_exact(hand_model):
+    """Half-plane fast coverage: identical depths away from triangle edges."""
+    fv = _hand_faces(hand_model, jax.random.key(21), 2)
+    samples = jnp.asarray(bilinear_sample_positions(64, 10))
+    exact = np.asarray(
+        rasterize_depth_binned(fv, samples, samples, interpret=True, exact=True)
+    )
+    fast = np.asarray(
+        rasterize_depth_binned(fv, samples, samples, interpret=True, exact=False)
+    )
+    fg_exact = exact < 999
+    fg_fast = fast < 999
+    # coverage agrees except boundary samples
+    iou = (fg_exact & fg_fast).sum() / max((fg_exact | fg_fast).sum(), 1)
+    assert iou > 0.97, iou
+    # matched foreground depths are identical interpolations
+    both = fg_exact & fg_fast
+    diff = np.abs(exact - fast)[both]
+    assert np.percentile(diff, 99) < 0.5, np.percentile(diff, 99)
