@@ -97,3 +97,15 @@ def test_lr_schedule(tiny_cfg):
     assert cfg.lr_at_epoch(24) == pytest.approx(1e-3)
     assert cfg.lr_at_epoch(25) == pytest.approx(1e-4)
     assert cfg.lr_at_epoch(50) == pytest.approx(1e-5)
+
+
+def test_synt_step_deterministic(steps):
+    """Same seed -> identical loss (explicit RNG, no hidden state)."""
+    m = []
+    for _ in range(2):
+        state = steps.init_state(jax.random.key(0))
+        state, metrics = jax.jit(steps.synt_step)(
+            state, jax.random.key(7), jnp.asarray(1e-3)
+        )
+        m.append(float(metrics["loss"]))
+    assert m[0] == m[1]
