@@ -6,7 +6,12 @@ maps — in frames/sec on the default JAX device. The reference never measured
 this (its render bench is commented out, mesh/render.py:341-372); the
 driver's north-star target is 50k frames/sec/chip (BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Reports BOTH raster modes: ``value`` is the production fast mode (half-plane
+coverage — identical depths, boundary pixels may differ from the CUDA span
+rules), ``exact_fps`` is the CUDA-parity scanline-exact mode.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "exact_fps",
+"batch"}.
 """
 from __future__ import annotations
 
@@ -14,9 +19,9 @@ import json
 import os
 import time
 
-import numpy as np
-
 TARGET_FPS = 50_000.0
+BATCH = 512
+ITERS = 20
 
 
 def main() -> None:
@@ -28,6 +33,8 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    import functools
+
     import jax.numpy as jnp
 
     from spherehand_tpu.data.sampler import sample_poses
@@ -36,34 +43,37 @@ def main() -> None:
     from spherehand_tpu.render.raster import render_depth_64
 
     model = load_hand_model()
-    batch = 128
 
-    @jax.jit
-    def render(key):
-        params = sample_poses(key, batch)
+    @functools.partial(jax.jit, static_argnames=("exact",))
+    def render(key, exact):
+        params = sample_poses(key, BATCH)
         transforms = forward_kinematics(model, params)
-        rand_f = jax.random.uniform(jax.random.fold_in(key, 1), (batch,), minval=0.9, maxval=1.1)
-        return render_depth_64(model, transforms, rand_f)
+        rand_f = jax.random.uniform(
+            jax.random.fold_in(key, 1), (BATCH,), minval=0.9, maxval=1.1
+        )
+        return render_depth_64(model, transforms, rand_f, exact=exact)
 
-    # Warmup / compile.
-    out = render(jax.random.key(0))
-    jax.block_until_ready(out)
+    def measure(exact: bool) -> float:
+        out = render(jax.random.key(0), exact)
+        jax.block_until_ready(out)  # compile/warmup
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            out = render(jax.random.key(i + 1), exact)
+        jax.block_until_ready(out)
+        return BATCH * ITERS / (time.perf_counter() - t0)
 
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = render(jax.random.key(i + 1))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = batch * iters / dt
+    fast_fps = measure(exact=False)
+    exact_fps = measure(exact=True)
 
     print(
         json.dumps(
             {
                 "metric": "depth_render_throughput",
-                "value": round(float(fps), 2),
+                "value": round(float(fast_fps), 2),
                 "unit": "frames/sec",
-                "vs_baseline": round(float(fps) / TARGET_FPS, 4),
+                "vs_baseline": round(float(fast_fps) / TARGET_FPS, 4),
+                "exact_fps": round(float(exact_fps), 2),
+                "batch": BATCH,
             }
         )
     )

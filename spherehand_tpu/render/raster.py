@@ -237,16 +237,20 @@ def render_depth_64(
         from spherehand_tpu.render.raster_pallas import rasterize_depth_binned
 
         tiles = (2 * out_size) // 8
-        zbuf = rasterize_depth_binned(
+        # valid_frac 0.62: the kernel only addresses nondump (front-facing,
+        # on-screen) faces; for the closed hand mesh that is ~half the faces
+        # (measured max 48.4% over 10,240 sampler poses via
+        # raster_pallas.nondump_counts; see tests/test_raster_pallas.py).
+        return rasterize_depth_binned(
             face_verts, samples, samples,
             width=_C.raster_size, height=_C.raster_size,
             tiles_x=tiles, tiles_y=tiles, exact=exact,
+            valid_frac=0.62, pool_clamp=float(_C.background_depth),
         )
-    else:
-        zbuf = rasterize_depth(
-            face_verts, samples, samples,
-            width=_C.raster_size, height=_C.raster_size,
-        )
+    zbuf = rasterize_depth(
+        face_verts, samples, samples,
+        width=_C.raster_size, height=_C.raster_size,
+    )
     zbuf = jnp.minimum(zbuf, _C.background_depth)  # clamp (mesh/render.py:286)
     batch = zbuf.shape[0]
     blocks = zbuf.reshape(batch, out_size, 2, out_size, 2)

@@ -3,39 +3,66 @@
 Same coverage/depth semantics as :mod:`spherehand_tpu.render.raster` (which
 replicates the reference CUDA kernel, depth_rasterization_cuda_kernel.cu), but
 restructured for TPU speed-of-light. Design, shaped by per-op profiling on a
-v5e chip:
+v5e chip (history in PERF.md):
 
 1. **Binning (XLA pre-pass).** Each face gets ONE sort key: the sample tile
    containing its bbox LOW corner (faces spanning more than 2x2 tiles go to a
-   shared overflow bucket; off-screen/degenerate faces to a dump bucket at the
-   end). One ``sort_key_val`` of F entries orders the face records by bucket;
-   per-bucket offsets come from a histogram + cumsum (searchsorted's binary-
-   search lowering is a TPU while-loop that once dominated this pipeline).
-   A tile's relevant faces (bbox <= tile size => low corner in its 2x2 upper-
-   left neighborhood) then live in two contiguous windows of the sorted
-   buffer: buckets {t-1, t} and {t-tiles_x-1, t-tiles_x}.
+   shared overflow bucket; off-screen/back-facing/degenerate faces to a dump
+   bucket at the end). Per-bucket offsets come from a histogram + cumsum
+   (searchsorted's binary-search lowering is a TPU while-loop that once
+   dominated this pipeline). A tile's relevant faces (bbox <= tile size =>
+   low corner in its 2x2 upper-left neighborhood) then live in two contiguous
+   windows of the sorted buffer: buckets {t-1..t+3} and the row above.
 
-2. **Vertex sorting by select, not gather.** The CUDA-order x-sort of each
-   face's vertices is computed with elementwise ``where`` ladders; a
-   ``take_along_axis`` formulation lowers to a 12-byte-row gather that costs
-   more than the entire rasterization kernel.
+2. **Payload sort, no gather.** The face records ride through the ONE
+   ``jax.lax.sort`` as payload operands (the 9 sorted-vertex coordinates),
+   replacing the former sort-then-``take_along_axis`` row gather that cost
+   4.6 ms/call at B=128 (~10 ns/row, overhead-bound). Records are then built
+   AFTER the sort from the 9 coordinate columns — pure elementwise, fused.
 
-3. **Kernel.** Grid = (batch,): one program per image. The whole sorted
+3. **Truncation.** Only nondump faces (front-facing, on-screen) are ever
+   addressed by the kernel windows, and for a closed mesh they are ~half the
+   faces. ``valid_frac`` truncates the sorted record buffer to that bound,
+   shrinking record build + kernel VMEM traffic. Callers must guarantee the
+   nondump count never exceeds the bound (see ``render_depth_64``, which uses
+   a statistically validated margin for the hand mesh).
+
+4. **Mask-free overreads.** Chunk windows align down to the sublane tile (8)
+   and read whole CHUNK blocks, so the kernel reads rows outside [rs, re).
+   Every such row is either (a) a real face whose bin proves it cannot cover
+   this quad — the geometric coverage test rejects it — or (b) covers it and
+   is ALSO processed by its own window (min/max reductions are idempotent),
+   or (c) a dump/padding row, whose record is ZEROED so its coverage term is
+   inert. Hence no per-entry index masking at all (the former per-chunk iota
+   + two compares + and are gone).
+
+5. **Kernel.** Grid = (batch,): one program per image; the whole sorted
    record buffer rides into VMEM through the normal BlockSpec pipeline (auto
-   double-buffered across grid steps) — no manual DMA, no per-tile program
-   overhead (a (batch x tiles) grid spent ~0.9 us/program of fixed cost).
-   Orientation puts FACES ON SUBLANES and SAMPLES ON LANES: records are
-   (entry, field) blocks, the z-buffer row per tile is a (1, 64) lane vector,
-   and per-tile stores hit dynamic sublane offsets — all shapes Mosaic lays
-   out compactly (a lane-sized-1 layout padded every row to 128 lanes and
-   blew the 16 MB VMEM budget). No atomics anywhere: the z-test is a lane
-   reduction (the CUDA original needs a CAS loop, .cu:6-16).
+   double-buffered), FACES ON SUBLANES and SAMPLES ON LANES, 4-tile quads per
+   loop iteration (full 256-lane VPU width). No atomics anywhere: the z-test
+   is a lane reduction (the CUDA original needs a CAS loop, .cu:6-16).
+   - *Fast mode* (production, training-data generation): half-plane coverage
+     on raw barycentrics (w2 = 1 - w0 - w1 — true barycentrics sum to one),
+     and depth comes from ONE precomputed affine form q = qa*x + qb*y + qc
+     (= sum_k w_k/z_k fused at record-build time), so the per-(face, sample)
+     work is three fused multiply-adds, a min-coverage test, one divide, and
+     the min-reduction. (A reciprocal-space max-reduce was tried and rejected:
+     orthographic camera z here is centered near zero, and 1/z is not
+     monotone across the sign change.)
+   - *Exact mode* (CUDA-parity): scanline-span coverage with the reference's
+     ceil/trunc semantics, clamped+renormalized barycentric depth; per-face
+     column bounds ceil(p0.x) / trunc(min(p2.x, W-1)) are precomputed into
+     the records.
 
-Face record layout (FREC=24 columns per entry row):
-  0-2  p0x p1x p2x (x-sorted)     3-5  p0y p1y p2y
-  6-8  s01 s12 s02 (edge slopes)  9-10 vert01 vert12 (vertical-edge flags)
-  11-13 r0 r1 r2 (1/z)            14-22 barycentric inverse (row-major)
-  23   valid
+Fast record layout (FREC_F=9): barycentric row 0 [a0 b0 c0], row 1
+[a1 b1 c1] (w2 = 1 - w0 - w1), and the fused reciprocal-depth row
+[qa qb qc] = sum_k r_k * row_k with r_k = 1/z_k; all sanitized finite.
+
+Exact record layout (FREC_E=24):
+  0 p0x  1 p1x  2 xhi=trunc(min(p2x,W-1))   3 p0y  4 p1y  5 xlo=ceil(p0x)
+  6-8  s01 s12 s02 (edge slopes)   9-10 vert01 vert12 (vertical-edge flags)
+  11-13 r0 r1 r2 (1/z)             14-22 barycentric inverse (row-major)
+  23   pad
 """
 from __future__ import annotations
 
@@ -46,9 +73,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-FREC = 24  # fields per face record
-CHUNK = 128  # faces per compute chunk (sublane dimension)
-TILE_S = 8  # tile edge in samples -> 64 samples/tile
+FREC_F = 9   # fields per fast-mode face record
+FREC_E = 24  # fields per exact-mode face record
+CHUNK = 64   # faces per compute chunk (sublane dimension)
+TILE_S = 8   # tile edge in samples -> 64 samples/tile
+QUAD = 8     # tiles processed per loop iteration (8 x 64 samples = 512 lanes)
 
 
 def _sort_vertices_by_x(face_vertices: jnp.ndarray) -> jnp.ndarray:
@@ -94,30 +123,75 @@ def face_setup_fast(face_vertices: jnp.ndarray):
     return p, face_inv, front & nondegenerate
 
 
-def _build_face_records(p, face_inv, valid):
-    """(B, F, 3, 3) sorted verts + inverse + valid -> (B, F, FREC) records."""
-    px = p[..., 0]
-    py = p[..., 1]
-    pz = p[..., 2]
-
-    def safe_slope(a, b):
-        dx = px[..., b] - px[..., a]
-        return jnp.where(
-            dx == 0.0, 0.0, (py[..., b] - py[..., a]) / jnp.where(dx == 0.0, 1.0, dx)
-        )
-
-    cols = [
-        px[..., 0], px[..., 1], px[..., 2],
-        py[..., 0], py[..., 1], py[..., 2],
-        safe_slope(0, 1), safe_slope(1, 2), safe_slope(0, 2),
-        (px[..., 1] == px[..., 0]).astype(jnp.float32),
-        (px[..., 2] == px[..., 1]).astype(jnp.float32),
-        1.0 / pz[..., 0], 1.0 / pz[..., 1], 1.0 / pz[..., 2],
+def _barycentric_rows(px, py):
+    """Inverse-matrix rows (each a 3-list [x-coef, y-coef, const]) and the
+    safe determinant from per-vertex coordinate columns (each (B, K))."""
+    px0, px1, px2 = px
+    py0, py1, py2 = py
+    den = px2 * (py0 - py1) + px0 * (py1 - py2) + px1 * (py2 - py0)
+    safe_den = jnp.where(den == 0.0, 1.0, den)
+    rows = [
+        [py1 - py2, px2 - px1, px1 * py2 - px2 * py1],
+        [py2 - py0, px0 - px2, px2 * py0 - px0 * py2],
+        [py0 - py1, px1 - px0, px0 * py1 - px1 * py0],
     ]
-    inv_flat = face_inv.reshape(face_inv.shape[:-2] + (9,))
-    cols.extend(inv_flat[..., k] for k in range(9))
-    cols.append(valid.astype(jnp.float32))
-    return jnp.stack(cols, axis=-1)  # (B, F, FREC)
+    return [[c / safe_den for c in row] for row in rows]
+
+
+def _build_records_fast(px, py, pz) -> jnp.ndarray:
+    """Sorted coordinate columns -> (B, K, FREC_F) fast-mode records.
+
+    All nine values are sanitized to finite (a near-degenerate face whose
+    inverse overflows would otherwise propagate NaN through the kernel's
+    unguarded max-reduction); zeroed rows are inert: w0=w1=0, w2=1, q=0."""
+    rows = _barycentric_rows(px, py)
+    r = [jnp.where(z == 0.0, 0.0, 1.0 / jnp.where(z == 0.0, 1.0, z)) for z in pz]
+    qrow = [
+        r[0] * rows[0][c] + r[1] * rows[1][c] + r[2] * rows[2][c]
+        for c in range(3)
+    ]
+    cols = rows[0] + rows[1] + qrow
+    fin = lambda v: jnp.where(jnp.isfinite(v), v, 0.0)
+    return _stack_records([fin(c) for c in cols])
+
+
+def _build_records_exact(px, py, pz, width: int) -> jnp.ndarray:
+    """Sorted coordinate columns -> (B, K, FREC_E) exact-mode records."""
+    px0, px1, px2 = px
+    py0, py1, py2 = py
+
+    def safe_slope(xa, ya, xb, yb):
+        dx = xb - xa
+        return jnp.where(dx == 0.0, 0.0, (yb - ya) / jnp.where(dx == 0.0, 1.0, dx))
+
+    rows = _barycentric_rows(px, py)
+    cols = [
+        px0, px1,
+        jnp.trunc(jnp.minimum(px2, width - 1.0)),  # xhi
+        py0, py1,
+        jnp.ceil(px0),                             # xlo
+        safe_slope(px0, py0, px1, py1),
+        safe_slope(px1, py1, px2, py2),
+        safe_slope(px0, py0, px2, py2),
+        (px1 == px0).astype(jnp.float32),
+        (px2 == px1).astype(jnp.float32),
+        1.0 / pz[0], 1.0 / pz[1], 1.0 / pz[2],
+    ]
+    cols.extend(rows[0] + rows[1] + rows[2])
+    cols.append(jnp.zeros_like(px0))
+    return _stack_records(cols)
+
+
+def _stack_records(cols) -> jnp.ndarray:
+    """Stack per-field (B, K) columns into (B, K, FREC) records.
+
+    ``jnp.stack(cols, axis=-1)`` lowers to a minor-dim concatenate that XLA
+    materializes as one strided copy PER FIELD (~0.8 ms each at B=512 — the
+    24-field exact build cost ~40 ms/call). Stacking on axis 0 is contiguous
+    and fuses with the producers; the single (FREC, B, K) -> (B, K, FREC)
+    transpose then runs near memory bandwidth.
+    """
+    return jnp.stack(cols, axis=0).transpose(1, 2, 0)
 
 
 def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
@@ -155,21 +229,39 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
     return keys.astype(jnp.int32), num_tiles
 
 
-QUAD = 4  # tiles processed per loop iteration (4 x 64 samples = 256 lanes)
+def nondump_counts(face_vertices, sample_x, sample_y, tiles_x=16, tiles_y=16,
+                   width=640, height=640) -> jnp.ndarray:
+    """Per-image count of faces the kernel windows can address (all faces not
+    in the dump bucket). Used to validate a ``valid_frac`` truncation margin."""
+    p, _, valid = face_setup_fast(face_vertices)
+    keys, num_tiles = _bin_faces(
+        p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height
+    )
+    return jnp.sum(keys != num_tiles + 1, axis=-1)
 
 
-def _raster_kernel(
+def _window_ranges(starts_ref, base, t0, tiles_x, num_tiles, quad):
+    """The three sorted-buffer windows relevant to tiles [t0, t0+quad):
+    same-row buckets {t0-1..t0+quad-1}, the row above, and overflow."""
+    rs_a = starts_ref[base + jnp.maximum(t0 - 1, 0)]
+    re_a = starts_ref[base + t0 + quad]
+    up = t0 - tiles_x
+    rs_b = starts_ref[base + jnp.maximum(up - 1, 0)]
+    re_b = starts_ref[base + jnp.maximum(up + quad, 0)]
+    rs_c = starts_ref[base + num_tiles]
+    re_c = starts_ref[base + num_tiles + 1]
+    return (rs_a, re_a), (rs_b, re_b), (rs_c, re_c)
+
+
+def _raster_kernel_fast(
     starts_ref,  # scalar prefetch: (B*(NT+2),) int32
     xcoord_ref,  # (NT/QUAD, QUAD*64) per-quad sample x (full array in VMEM)
     ycoord_ref,  # (NT/QUAD, QUAD*64)
-    fdata_ref,   # (1, E, FREC) sorted face records (block, auto-pipelined)
+    fdata_ref,   # (1, E, FREC_F) sorted fast records (block, auto-pipelined)
     out_ref,     # (1, NT/QUAD, QUAD*64)
     *,
     num_tiles: int,
     tiles_x: int,
-    width: int,
-    height: int,
-    exact: bool,
 ):
     b = pl.program_id(0)
     base = b * (num_tiles + 2)
@@ -180,38 +272,108 @@ def _raster_kernel(
         x = xcoord_ref[q, :][None, :]  # (1, lanes)
         y = ycoord_ref[q, :][None, :]
 
-        def process_range(rs, re, zbuf):
-            # Sublane tiling is 8: align the window start down to 8.
+        # (An MXU formulation — one block-diagonal dot evaluating w0/w1/q for
+        # all samples — measured 3x SLOWER: f32 fidelity needs 6-pass
+        # Precision.HIGHEST, and the affine constants reach ~1e4 with
+        # catastrophic cancellation, so lower precision is unusable. VPU fma
+        # it is.)
+        def process_range(rng, zbuf):
+            rs, re = rng
+            aligned_rs = (rs // 8) * 8  # sublane tiling is 8
+
+            def chunk_fast(i, zbuf):
+                off = pl.multiple_of(aligned_rs + i * CHUNK, 8)
+                f = fdata_ref[0, pl.ds(off, CHUNK), :]  # (CHUNK, FREC_F)
+
+                def col(k):
+                    return f[:, k][:, None]  # (CHUNK, 1), broadcasts over lanes
+
+                w0 = col(0) * x + col(1) * y + col(2)
+                w1 = col(3) * x + col(4) * y + col(5)
+                qd = col(6) * x + col(7) * y + col(8)  # 1/depth
+                w2 = 1.0 - w0 - w1
+                cover = jnp.minimum(jnp.minimum(w0, w1), w2) >= 0.0
+                # Records are sanitized finite, so qd is never NaN; zeroed
+                # dump/pad rows give qd = +0 -> depth = +inf, inert in min.
+                # Approximate reciprocal: ~2^-12 relative = ~0.02 mm at hand
+                # depths — far below the sensor noise the synthesizer adds.
+                depth = jnp.where(cover, pl.reciprocal(qd, approx=True), 1000.0)
+                return jnp.minimum(zbuf, jnp.min(depth, axis=0, keepdims=True))
+
+            n_chunks = jnp.where(
+                re > rs, pl.cdiv(jnp.maximum(re - aligned_rs, 0), CHUNK), 0
+            )
+            return jax.lax.fori_loop(0, n_chunks, chunk_fast, zbuf)
+
+        win_a, win_b, win_c = _window_ranges(
+            starts_ref, base, t0, tiles_x, num_tiles, QUAD
+        )
+
+        out_ref[0, q, :] = jnp.full((lanes,), 1000.0, jnp.float32)
+        work = (
+            (win_a[1] > win_a[0]) | (win_b[1] > win_b[0]) | (win_c[1] > win_c[0])
+        )
+
+        @pl.when(work)
+        def _():
+            zbuf = jnp.full((1, lanes), 1000.0, jnp.float32)
+            zbuf = process_range(win_a, zbuf)
+            zbuf = process_range(win_b, zbuf)
+            zbuf = process_range(win_c, zbuf)
+            out_ref[0, q, :] = zbuf[0]
+
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles // QUAD, quad_body, 0)
+
+
+def _raster_kernel_exact(
+    starts_ref,
+    xcoord_ref,
+    ycoord_ref,
+    fdata_ref,   # (1, E, FREC_E)
+    out_ref,
+    *,
+    num_tiles: int,
+    tiles_x: int,
+    height: int,
+):
+    b = pl.program_id(0)
+    base = b * (num_tiles + 2)
+    lanes = QUAD * TILE_S * TILE_S
+
+    def quad_body(q, _):
+        t0 = q * QUAD
+        x = xcoord_ref[q, :][None, :]
+        y = ycoord_ref[q, :][None, :]
+
+        def process_range(rng, zbuf):
+            rs, re = rng
             aligned_rs = (rs // 8) * 8
 
             def chunk_exact(i, zbuf):
                 """CUDA scanline-span semantics (the parity mode)."""
                 off = pl.multiple_of(aligned_rs + i * CHUNK, 8)
-                f = fdata_ref[0, pl.ds(off, CHUNK), :]  # (CHUNK, FREC)
+                f = fdata_ref[0, pl.ds(off, CHUNK), :]  # (CHUNK, FREC_E)
 
                 def col(k):
-                    return f[:, k][:, None]  # (CHUNK, 1), broadcasts over lanes
+                    return f[:, k][:, None]
 
-                p0x, p1x, p2x = col(0), col(1), col(2)
-                p0y, p1y, p2y = col(3), col(4), col(5)
-                s01, s12, s02 = col(6), col(7), col(8)
+                p0x, p1x = col(0), col(1)
                 vert01, vert12 = col(9) > 0.5, col(10) > 0.5
                 r0, r1, r2 = col(11), col(12), col(13)
-                valid = col(23) > 0.5
 
-                e01 = s01 * (x - p0x) + p0y
-                e12 = s12 * (x - p1x) + p1y
+                e01 = col(6) * (x - p0x) + col(3)
+                e12 = col(7) * (x - p1x) + col(4)
                 yi1 = jnp.where(
                     x <= p1x,
-                    jnp.where(vert01, p1y, e01),
-                    jnp.where(vert12, p1y, e12),
+                    jnp.where(vert01, col(4), e01),
+                    jnp.where(vert12, col(4), e12),
                 )
-                yi2 = s02 * (x - p0x) + p0y
+                yi2 = col(8) * (x - p0x) + col(3)
                 y_lo = jnp.ceil(jnp.minimum(yi1, yi2))
                 y_hi = jnp.trunc(jnp.minimum(jnp.maximum(yi1, yi2), height - 1.0))
-                x_ok = (x >= jnp.ceil(p0x)) & (
-                    x <= jnp.trunc(jnp.minimum(p2x, width - 1.0))
-                )
+                x_ok = (x >= col(5)) & (x <= col(2))  # precomputed bounds
 
                 w0 = jnp.clip(col(14) * x + col(15) * y + col(16), 0.0, 1.0)
                 w1 = jnp.clip(col(17) * x + col(18) * y + col(19), 0.0, 1.0)
@@ -219,12 +381,8 @@ def _raster_kernel(
                 w_sum = w0 + w1 + w2
                 depth = w_sum / (w0 * r0 + w1 * r1 + w2 * r2)
 
-                entry = off + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                 cover = (
-                    valid
-                    & (entry >= rs)
-                    & (entry < re)
-                    & x_ok
+                    x_ok
                     & (y >= y_lo)
                     & (y <= y_hi)
                     & (w_sum > 0.0)
@@ -233,62 +391,26 @@ def _raster_kernel(
                 depth = jnp.where(cover, depth, 1000.0)  # (CHUNK, lanes)
                 return jnp.minimum(zbuf, jnp.min(depth, axis=0, keepdims=True))
 
-            def chunk_fast(i, zbuf):
-                """Half-plane coverage: raw barycentrics all >= 0. Exact
-                interpolation everywhere it agrees with the span rule; the two
-                differ only at triangle-boundary pixels (sub-pixel silhouette
-                detail already blurred by the 2x2 downsample). ~1/3 of the
-                exact mode's op count — the training-data production path."""
-                off = pl.multiple_of(aligned_rs + i * CHUNK, 8)
-                f = fdata_ref[0, pl.ds(off, CHUNK), :]
-
-                def col(k):
-                    return f[:, k][:, None]
-
-                w0 = col(14) * x + col(15) * y + col(16)
-                w1 = col(17) * x + col(18) * y + col(19)
-                w2 = col(20) * x + col(21) * y + col(22)
-                q_inv = w0 * col(11) + w1 * col(12) + w2 * col(13)
-                depth = 1.0 / q_inv  # sum(w) == 1 for true barycentrics
-
-                entry = off + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-                cover = (
-                    (col(23) > 0.5)
-                    & (entry >= rs)
-                    & (entry < re)
-                    & (jnp.minimum(jnp.minimum(w0, w1), w2) >= 0.0)
-                    & ~jnp.isnan(depth)
-                )
-                depth = jnp.where(cover, depth, 1000.0)
-                return jnp.minimum(zbuf, jnp.min(depth, axis=0, keepdims=True))
-
-            chunk_body = chunk_exact if exact else chunk_fast
             n_chunks = jnp.where(
                 re > rs, pl.cdiv(jnp.maximum(re - aligned_rs, 0), CHUNK), 0
             )
-            return jax.lax.fori_loop(0, n_chunks, chunk_body, zbuf)
+            return jax.lax.fori_loop(0, n_chunks, chunk_exact, zbuf)
 
-        # Windows: faces relevant to tiles t0..t0+3 have their bbox low
-        # corner in buckets {t0-1 .. t0+3} (this row, contiguous) or
-        # {t0-tiles_x-1 .. t0-tiles_x+3} (the row above); for top-row quads
-        # the clamped upper window degenerates to an empty range.
-        rs_a = starts_ref[base + jnp.maximum(t0 - 1, 0)]
-        re_a = starts_ref[base + t0 + QUAD]
-        up = t0 - tiles_x
-        rs_b = starts_ref[base + jnp.maximum(up - 1, 0)]
-        re_b = starts_ref[base + jnp.maximum(up + QUAD, 0)]
-        rs_c = starts_ref[base + num_tiles]
-        re_c = starts_ref[base + num_tiles + 1]
+        win_a, win_b, win_c = _window_ranges(
+            starts_ref, base, t0, tiles_x, num_tiles, QUAD
+        )
 
         out_ref[0, q, :] = jnp.full((lanes,), 1000.0, jnp.float32)
-        work = (re_a > rs_a) | (re_b > rs_b) | (re_c > rs_c)
+        work = (
+            (win_a[1] > win_a[0]) | (win_b[1] > win_b[0]) | (win_c[1] > win_c[0])
+        )
 
         @pl.when(work)
         def _():
             zbuf = jnp.full((1, lanes), 1000.0, jnp.float32)
-            zbuf = process_range(rs_a, re_a, zbuf)
-            zbuf = process_range(rs_b, re_b, zbuf)
-            zbuf = process_range(rs_c, re_c, zbuf)
+            zbuf = process_range(win_a, zbuf)
+            zbuf = process_range(win_b, zbuf)
+            zbuf = process_range(win_c, zbuf)
             out_ref[0, q, :] = zbuf[0]
 
         return 0
@@ -299,7 +421,8 @@ def _raster_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "tiles_x", "tiles_y", "interpret", "exact"
+        "width", "height", "tiles_x", "tiles_y", "interpret", "exact",
+        "valid_frac", "pool_clamp",
     ),
 )
 def rasterize_depth_binned(
@@ -312,24 +435,33 @@ def rasterize_depth_binned(
     tiles_y: int = 16,
     interpret: bool = False,
     exact: bool = True,
+    valid_frac: float = 1.0,
+    pool_clamp: float | None = None,
 ) -> jnp.ndarray:
     """Tile-binned Pallas rasterization at integer sample positions.
 
     Same contract as :func:`spherehand_tpu.render.raster.rasterize_depth`;
     requires len(sample_x) == tiles_x * TILE_S and likewise for y.
+
+    valid_frac: truncate the sorted face buffer to this fraction of the mesh
+    (rounded up to the compute chunk). Callers must guarantee the per-image
+    nondump face count (see :func:`nondump_counts`) never exceeds the bound;
+    faces beyond it would silently vanish. 1.0 = no truncation.
+
+    pool_clamp: when set, clamp depths to this value and 2x2-mean-pool,
+    returning (B, Sy/2, Sx/2) — the fused production postprocess (the
+    reference clamps to 100 mm then bilinear-downsamples, mesh/render.py:
+    286,310-311). None returns the raw (B, Sy, Sx) buffer, background 1000.
     """
     batch, num_faces = face_vertices.shape[:2]
     assert sample_x.shape[0] == tiles_x * TILE_S
     assert sample_y.shape[0] == tiles_y * TILE_S
 
-    p, face_inv, valid = face_setup_fast(face_vertices)
+    p, _, valid = face_setup_fast(face_vertices)
     keys, num_tiles = _bin_faces(
         p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height
     )
-    face_ids = jnp.broadcast_to(
-        jnp.arange(num_faces, dtype=jnp.int32)[None], keys.shape
-    )
-    _, order = jax.lax.sort_key_val(keys, face_ids, dimension=-1)
+    dump = num_tiles + 1
 
     # Per-bucket range starts: histogram prefix sums of the small-domain keys
     # (searchsorted's while-loop lowering is slow on TPU).
@@ -346,12 +478,38 @@ def rasterize_depth_binned(
         axis=-1,
     )  # (B, NT+2)
 
-    # Records in (entry, field) orientation — whole 96-byte-row gather, no
-    # transposes, and the kernel's natural sublane-major layout.
-    fdata = _build_face_records(p, face_inv, valid)  # (B, F, FREC)
-    fdata_sorted = jnp.take_along_axis(fdata, order[:, :, None], axis=1)
-    pad = (-fdata_sorted.shape[1]) % CHUNK + CHUNK
-    fdata_sorted = jnp.pad(fdata_sorted, ((0, 0), (0, pad), (0, 0)))
+    # The 9 vertex-coordinate columns ride the sort as payload operands (a
+    # post-sort row gather was ~10 ns/row, the single largest pre-pass cost).
+    # Dump-bucket rows are zeroed BEFORE the sort: they are never legitimately
+    # addressed, but chunk-aligned overreads may touch them, and a zero record
+    # is inert in both kernels (module docstring, point 4).
+    coord_cols = [
+        jnp.where(keys == dump, 0.0, p[..., v, c])
+        for c in range(3)
+        for v in range(3)
+    ]  # px0 px1 px2 py0 py1 py2 pz0 pz1 pz2
+    sorted_ops = jax.lax.sort(
+        [keys] + coord_cols, dimension=-1, num_keys=1, is_stable=False
+    )
+
+    if valid_frac < 1.0:
+        keep = min(num_faces, -(-int(num_faces * valid_frac) // CHUNK) * CHUNK)
+    else:
+        keep = num_faces
+    # Chunk overreads may run up to CHUNK-1 rows past the last window end
+    # (plus the down-alignment), so the buffer needs one extra chunk of inert
+    # rows. When the mesh has that many faces to spare, slice them instead of
+    # padding: rows past the nondump count are dump rows, already zeroed.
+    target = keep + (-keep) % CHUNK + CHUNK
+    take = min(target, num_faces)
+    sc = [op[:, :take] for op in sorted_ops[1:]]
+    px, py, pz = sc[0:3], sc[3:6], sc[6:9]
+    if exact:
+        fdata = _build_records_exact(px, py, pz, width)
+    else:
+        fdata = _build_records_fast(px, py, pz)
+    if target > num_faces:
+        fdata = jnp.pad(fdata, ((0, 0), (0, target - num_faces), (0, 0)))
 
     # Per-quad sample coordinate tables (NT/QUAD, QUAD*64): quads are 4
     # consecutive row-major tiles, so the quad rows are just a reshape of the
@@ -382,7 +540,7 @@ def rasterize_depth_binned(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, fdata_sorted.shape[1], FREC),
+                (1, fdata.shape[1], fdata.shape[2]),
                 lambda b, s: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -393,14 +551,19 @@ def rasterize_depth_binned(
             memory_space=pltpu.VMEM,
         ),
     )
-    kernel = functools.partial(
-        _raster_kernel,
-        num_tiles=num_tiles,
-        tiles_x=tiles_x,
-        width=width,
-        height=height,
-        exact=exact,
-    )
+    if exact:
+        kernel = functools.partial(
+            _raster_kernel_exact,
+            num_tiles=num_tiles,
+            tiles_x=tiles_x,
+            height=height,
+        )
+    else:
+        kernel = functools.partial(
+            _raster_kernel_fast,
+            num_tiles=num_tiles,
+            tiles_x=tiles_x,
+        )
     tile_depths = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -412,11 +575,21 @@ def rasterize_depth_binned(
         starts.reshape(-1),
         xcoords,
         ycoords,
-        fdata_sorted,
+        fdata,
     )
 
-    # (B, NQ, QUAD*64) -> (B, Sy, Sx): tile t covers rows ty*8..+8, cols tx*8..+8.
+    # (B, NQ, QUAD*64) -> tile grid; tile t covers rows ty*8..+8, cols tx*8..+8.
     out = tile_depths.reshape(batch, tiles_y, tiles_x, TILE_S, TILE_S)
+    if pool_clamp is not None:
+        # Clamp-then-pool in tile layout: the transpose back to canvas order
+        # then moves 16x less data than pooling the assembled canvas.
+        t = jnp.minimum(out, pool_clamp)
+        t = t.reshape(
+            batch, tiles_y, tiles_x, TILE_S // 2, 2, TILE_S // 2, 2
+        ).mean(axis=(4, 6))
+        return t.transpose(0, 1, 3, 2, 4).reshape(
+            batch, tiles_y * TILE_S // 2, tiles_x * TILE_S // 2
+        )
     return out.transpose(0, 1, 3, 2, 4).reshape(
         batch, tiles_y * TILE_S, tiles_x * TILE_S
     )

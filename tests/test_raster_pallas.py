@@ -76,3 +76,75 @@ def test_fast_mode_statistically_matches_exact(hand_model):
     both = fg_exact & fg_fast
     diff = np.abs(exact - fast)[both]
     assert np.percentile(diff, 99) < 0.5, np.percentile(diff, 99)
+
+
+def test_valid_frac_truncation_is_lossless(hand_model):
+    """Truncating the sorted buffer above the nondump count changes nothing."""
+    from spherehand_tpu.render.raster_pallas import nondump_counts
+
+    fv = _hand_faces(hand_model, jax.random.key(31), 2)
+    samples = jnp.asarray(bilinear_sample_positions(64, 10))
+    full = np.asarray(
+        rasterize_depth_binned(fv, samples, samples, interpret=True, exact=False)
+    )
+    trunc = np.asarray(
+        rasterize_depth_binned(
+            fv, samples, samples, interpret=True, exact=False, valid_frac=0.62
+        )
+    )
+    counts = np.asarray(nondump_counts(fv, samples, samples))
+    assert counts.max() <= 0.62 * fv.shape[1]
+    np.testing.assert_array_equal(full, trunc)
+
+
+def test_pool_clamp_matches_manual_postprocess(hand_model):
+    """Fused clamp+2x2 pool == clamp then block-mean of the raw buffer."""
+    fv = _hand_faces(hand_model, jax.random.key(41), 2)
+    samples = jnp.asarray(bilinear_sample_positions(64, 10))
+    raw = np.asarray(
+        rasterize_depth_binned(fv, samples, samples, interpret=True, exact=False)
+    )
+    fused = np.asarray(
+        rasterize_depth_binned(
+            fv, samples, samples, interpret=True, exact=False, pool_clamp=100.0
+        )
+    )
+    manual = np.minimum(raw, 100.0).reshape(2, 64, 2, 64, 2).mean(axis=(2, 4))
+    np.testing.assert_allclose(fused, manual, atol=1e-4)
+
+
+def test_truncation_margin_vs_sampler_poses(hand_model):
+    """The production valid_frac=0.62 margin holds over sampled poses
+    (a 10,240-pose sweep measured max 48.4%; this is the fast regression)."""
+    from spherehand_tpu.data.sampler import sample_poses
+    from spherehand_tpu.render.raster_pallas import nondump_counts
+
+    fv = _hand_faces(hand_model, jax.random.key(51), 64)
+    samples = jnp.asarray(bilinear_sample_positions(64, 10))
+    counts = np.asarray(nondump_counts(fv, samples, samples))
+    frac = counts.max() / fv.shape[1]
+    assert frac < 0.55, frac
+
+
+def test_tpu_compiled_parity_artifact():
+    """On-chip Mosaic-compiled kernel vs the XLA oracle (captured artifact).
+
+    CPU tests run the Pallas kernel interpret-mode only; Mosaic layout rules
+    have diverged from interpret semantics before. tools/tpu_kernel_parity.py
+    captured both modes + the oracle on the real chip; this asserts the
+    recorded agreement and the shipped raw buffers."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens", "tpu_kernel_parity.npz"
+    )
+    art = np.load(path)
+    assert b"TPU" in bytes(art["backend"])
+    assert float(art["exact_coverage_match"]) == 1.0
+    assert float(art["exact_median_diff"]) == 0.0
+    assert float(art["exact_big_diff_frac"]) < 1e-4
+    assert float(art["fast_iou"]) > 0.999
+    assert float(art["fast_p99_diff"]) < 0.5
+    oracle, exact = art["oracle"], art["exact"]
+    assert ((oracle < 999) == (exact < 999)).all()
+    assert np.median(np.abs(oracle - exact)) == 0.0

@@ -5,7 +5,7 @@ re-jitting is impractical; instead this traces the already-compiled
 ``render_depth_64`` program (same shapes as bench.py) and the trace breaks
 the time into fusions / sort / gather / Pallas kernel.
 
-Usage: python tools/trace_render.py [batch] [outdir]
+Usage: python tools/trace_render.py [batch] [outdir] [exact]
 """
 from __future__ import annotations
 
@@ -34,6 +34,7 @@ from spherehand_tpu.render.raster import render_depth_64
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/jaxtrace"
+    exact = len(sys.argv) > 3 and sys.argv[3] not in ("0", "false", "fast")
     model = load_hand_model()
 
     @jax.jit
@@ -43,7 +44,7 @@ def main():
         rand_f = jax.random.uniform(
             jax.random.fold_in(key, 1), (batch,), minval=0.9, maxval=1.1
         )
-        return render_depth_64(model, transforms, rand_f)
+        return render_depth_64(model, transforms, rand_f, exact=exact)
 
     out = render(jax.random.key(0))
     jax.block_until_ready(out)
