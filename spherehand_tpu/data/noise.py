@@ -16,6 +16,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _rowwise_uniform(key: jax.Array, shape) -> jnp.ndarray:
+    """Uniform draws keyed PER BATCH ROW: row i's values are independent of
+    the batch size, so padded data-parallel batches (engine pads the leading
+    axis up to the device mesh) reproduce the unpadded rows' randomness
+    exactly. A plain uniform(key, (B, ...)) re-deals every row when B grows.
+    """
+    row_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        key, jnp.arange(shape[0])
+    )
+    return jax.vmap(lambda k: jax.random.uniform(k, shape[1:]))(row_keys)
+
+
 def depth_pixel_noise(key: jax.Array, dms: jnp.ndarray) -> jnp.ndarray:
     """Random per-pixel integer shifts + Gaussian z noise on the foreground.
 
@@ -63,7 +75,7 @@ def depth_resample(
     """
     kern = _GAUSS3 if kernel_size == 3 else _GAUSS5
     kern = jnp.asarray(kern / kern.sum(), dms.dtype)
-    keep = jax.random.uniform(key, dms.shape) <= sample_ratio
+    keep = _rowwise_uniform(key, dms.shape) <= sample_ratio
     dropped = jnp.where(keep, dms, 1.0)
     pad = kernel_size // 2
     out = jax.lax.conv_general_dilated(
@@ -117,11 +129,13 @@ def sample_resize_scales(
 
     Matches create_network_and_criterion.py:42-48 (shared base scale in
     [0.75, 0.95] plus +-0.05 per-axis jitter; one coin for the whole batch).
+    Per-sample draws are row-keyed (see ``_rowwise_uniform``) so padded
+    data-parallel batches keep the unpadded rows' augmentation.
     """
     k_coin, k_base, k_u, k_v = jax.random.split(key, 4)
     coin = jax.random.uniform(k_coin, ()) < 0.5
-    base = jax.random.uniform(k_base, (n,)) * 0.2 + 0.75
-    u = base + jax.random.uniform(k_u, (n,)) * 0.1 - 0.05
-    v = base + jax.random.uniform(k_v, (n,)) * 0.1 - 0.05
+    base = _rowwise_uniform(k_base, (n, 1))[:, 0] * 0.2 + 0.75
+    u = base + _rowwise_uniform(k_u, (n, 1))[:, 0] * 0.1 - 0.05
+    v = base + _rowwise_uniform(k_v, (n, 1))[:, 0] * 0.1 - 0.05
     ones = jnp.ones((n,))
     return jnp.where(coin, ones, u), jnp.where(coin, ones, v)

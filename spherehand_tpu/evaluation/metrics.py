@@ -20,15 +20,19 @@ def average_joint_error(
     est_joints: jnp.ndarray,
     synt_points: tuple = C.SYNT_KEY_POINTS,
     real_points: tuple = C.REAL_KEY_POINTS,
+    weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Mean L2 error (mm) over the keypoint correspondence.
 
     gt_joints: (..., 36, 3) NYU ground truth; est_joints: (..., 41, 3) model
-    estimates. Matches ``utils_metric.py:7-17``.
+    estimates; weights: optional (batch,) row weights for padded
+    data-parallel batches. Matches ``utils_metric.py:7-17``.
     """
+    from spherehand_tpu.ops.reduce import bmean
+
     gt = gt_joints[..., np.asarray(real_points, np.int32), :]
     est = est_joints[..., np.asarray(synt_points, np.int32), :]
-    return jnp.mean(jnp.linalg.norm(gt - est, axis=-1))
+    return bmean(jnp.linalg.norm(gt - est, axis=-1), weights)
 
 
 def per_joint_error(

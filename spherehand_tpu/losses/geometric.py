@@ -24,25 +24,36 @@ def _pair_sq_dist(joints: jnp.ndarray, j1: np.ndarray, j2: np.ndarray) -> jnp.nd
     return jnp.sum(diff * diff, axis=-1)
 
 
-def collision_loss(joints: jnp.ndarray, min_dist: float = 6.0) -> jnp.ndarray:
+def collision_loss(
+    joints: jnp.ndarray,
+    min_dist: float = 6.0,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Sum of relu(min_dist^2 - d^2) over the 690 palm/finger pairs.
 
     joints: (..., 41, 3) in mm. Reduction is a SUM over every pair and batch
-    element (reference mesh/render.py:168-176).
+    element (reference mesh/render.py:168-176). ``weights`` (batch,) zeroes
+    padded data-parallel rows (ops.reduce).
     """
+    from spherehand_tpu.ops.reduce import bsum
+
     sq = _pair_sq_dist(joints, _COLL_J1, _COLL_J2)
-    return jnp.sum(jax.nn.relu(min_dist * min_dist - sq))
+    return bsum(jax.nn.relu(min_dist * min_dist - sq), weights)
 
 
-def bone_length_loss(joints: jnp.ndarray) -> jnp.ndarray:
+def bone_length_loss(
+    joints: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Penalty outside [0.80 L, 1.05 L] of the 35 median bone lengths.
 
     joints: (..., 41, 3) in mm. Lower and upper squared-length violations are
     each MEANed then summed (reference mesh/render.py:196-206).
     """
+    from spherehand_tpu.ops.reduce import bmean
+
     sq = _pair_sq_dist(joints, C.BONE_PAIRS_J1, C.BONE_PAIRS_J2)
     min_sq = jnp.asarray((C.BONE_MEDIAN_LENGTH * 0.80) ** 2, joints.dtype)
     max_sq = jnp.asarray((C.BONE_MEDIAN_LENGTH * 1.05) ** 2, joints.dtype)
-    lower = jnp.mean(jax.nn.relu(min_sq - sq))
-    upper = jnp.mean(jax.nn.relu(sq - max_sq))
+    lower = bmean(jax.nn.relu(min_sq - sq), weights)
+    upper = bmean(jax.nn.relu(sq - max_sq), weights)
     return lower + upper

@@ -100,26 +100,35 @@ def multitask_loss(
     is_mv: bool | jnp.ndarray = True,
     prev_skel: jnp.ndarray | None = None,
     has_prev: jnp.ndarray | None = None,
+    real_weights: jnp.ndarray | None = None,
+    synt_weights: jnp.ndarray | None = None,
 ) -> tuple[dict, list, tuple]:
     """Assemble every enabled loss term.
 
     synt_target: a :class:`SyntheticBatch`; real_target: dict with
     ``real_dms`` (B, V, H, W) in mm (unscaled), ``camera_poses``,
-    ``inv_camera_poses``. Returns (terms, projected_dms_per_stack,
-    (new_prev_skel, new_has_prev)).
+    ``inv_camera_poses``. ``real_weights`` / ``synt_weights`` are optional
+    per-row weight vectors zeroing batch rows the engine padded in for the
+    data-parallel mesh (ops.reduce) — padded rows contribute no loss and no
+    gradient, so the objective matches single-device training exactly.
+    Returns (terms, projected_dms_per_stack, (new_prev_skel, new_has_prev)).
     """
+    from spherehand_tpu.ops.reduce import bmean
+
     terms: dict[str, jnp.ndarray] = {}
     has_real = real_target is not None and len(output.real_xyz) > 0
     has_synt = synt_target is not None and len(output.synt_xyz) > 0
 
     if cfg.synthesized and has_synt:
         terms["synt_uv"] = sum(
-            LOSS_WEIGHTS["synt_hm"] * _mse(hm, synt_target.uv_hms)
+            LOSS_WEIGHTS["synt_hm"]
+            * bmean((hm - synt_target.uv_hms) ** 2, synt_weights)
             for hm in output.synt_uv_hms
         )
         target_z = synt_target.xyz[..., 2]
         terms["synt_d"] = sum(
-            LOSS_WEIGHTS["synt_pt"] * _mse(xyz[..., 2], target_z)
+            LOSS_WEIGHTS["synt_pt"]
+            * bmean((xyz[..., 2] - target_z) ** 2, synt_weights)
             for xyz in output.synt_xyz
         )
 
@@ -134,6 +143,7 @@ def multitask_loss(
                 real_target["real_dms"],
                 radii,
                 is_mv=is_mv,
+                weights=real_weights,
             )
             total = total + LOSS_WEIGHTS["mv_projection"] * stack_loss
             projected_dms.append(dms)
@@ -144,26 +154,41 @@ def multitask_loss(
             jnp.asarray(is_mv), LOSS_WEIGHTS["mv_consistency"], 0.0
         )
         terms["mv_consistency"] = sum(
-            w * multiview_consistency_loss(real_target["camera_poses"], xyz)
+            w
+            * multiview_consistency_loss(
+                real_target["camera_poses"], xyz, weights=real_weights
+            )
             for xyz in output.real_xyz
         )
 
     if has_real:
         terms["uv_hm_mean"] = sum(
-            LOSS_WEIGHTS["hm_mean"] * jnp.mean(hm * hm)
+            LOSS_WEIGHTS["hm_mean"] * bmean(hm * hm, real_weights)
             for hm in output.real_uv_hms
         )
 
     if cfg.prior and has_real:
         assert vae_params is not None and rng is not None
         rngs = jax.random.split(rng, len(output.real_xyz))
+        num_views = output.real_xyz[0].shape[1]
+        prior_w = (
+            None
+            if real_weights is None
+            else jnp.repeat(real_weights, num_views)
+        )
         terms["pose_prior"] = sum(
-            LOSS_WEIGHTS["prior"] * pose_vae.prior_loss(vae_params, xyz / 100.0, r)
+            LOSS_WEIGHTS["prior"]
+            * pose_vae.prior_loss(vae_params, xyz / 100.0, r, weights=prior_w)
             for xyz, r in zip(output.real_xyz, rngs)
         )
 
     new_prev: tuple = (prev_skel, has_prev)
     if cfg.temporal and has_real:
+        # The consecutive-frame comparison is meaningless across padded rows;
+        # the engine refuses temporal mode when padding is in play.
+        assert real_weights is None, (
+            "temporal smoothness is incompatible with padded DP batches"
+        )
         total = 0.0
         for xyz in output.real_xyz:
             t_loss, prev_skel, has_prev = temporal_smoothness(
@@ -177,14 +202,18 @@ def multitask_loss(
         # view-0-only quirk: 41-joint pair tables over the flattened (V*J) axis
         terms["collision"] = sum(
             LOSS_WEIGHTS["collision"]
-            * collision_loss(xyz.reshape(xyz.shape[0], -1, 3))
+            * collision_loss(
+                xyz.reshape(xyz.shape[0], -1, 3), weights=real_weights
+            )
             for xyz in output.real_xyz
         )
 
     if cfg.bone_length and has_real:
         terms["bone_length"] = sum(
             LOSS_WEIGHTS["bone_length"]
-            * bone_length_loss(xyz.reshape(xyz.shape[0], -1, 3))
+            * bone_length_loss(
+                xyz.reshape(xyz.shape[0], -1, 3), weights=real_weights
+            )
             for xyz in output.real_xyz
         )
 

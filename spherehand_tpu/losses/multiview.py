@@ -74,6 +74,7 @@ def mutual_projection_loss(
     real_dms: jnp.ndarray,
     radii: jnp.ndarray,
     is_mv: bool | jnp.ndarray = True,
+    weights: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Model<->data alignment across views (multiview_utility.py:90-130).
 
@@ -83,9 +84,12 @@ def mutual_projection_loss(
     depth against the observation; data-to-model is the point-to-sphere
     distance field; total = m2d + 500 * d2m. ``is_mv`` may be a traced bool —
     both branches are computed and selected, keeping the step jittable.
+    ``weights`` (B,) zeroes padded data-parallel rows (ops.reduce).
 
     Returns (loss, projected_dms (B, V, V, H, W)).
     """
+    from spherehand_tpu.ops.reduce import bmean, bmean_keep
+
     size = real_dms.shape[-1]
     projected_dms, projected_joints = mutual_projection(
         poses, inv_poses, joints, radii, size
@@ -96,20 +100,20 @@ def mutual_projection_loss(
         real_dms[:, None], projected_dms.shape
     )
 
-    m2d_mv = jnp.mean((projected_dms - target) ** 2) * 9.0
-    d2m_mv = data_to_model_distance(target, projected_joints, radii) * 9.0
+    m2d_mv = bmean((projected_dms - target) ** 2, weights) * 9.0
+    d2m_mv = data_to_model_distance(target, projected_joints, radii, weights) * 9.0
 
     diag = jnp.arange(num_views)
     proj_diag = projected_dms[:, diag, diag]  # (B, V, H, W)
     target_diag = real_dms
     m2d_sv = jnp.sum(
-        jnp.mean((proj_diag - target_diag) ** 2, axis=(0, 2, 3))
+        bmean_keep((proj_diag - target_diag) ** 2, weights, (2, 3))
     ) * 3.0
     joints_diag = projected_joints[:, diag, diag]  # (B, V, J, 3)
     d2m_sv = (
         sum(
             data_to_model_distance(
-                real_dms[:, v], joints_diag[:, v], radii
+                real_dms[:, v], joints_diag[:, v], radii, weights
             )
             for v in range(num_views)
         )
@@ -123,7 +127,9 @@ def mutual_projection_loss(
 
 
 def multiview_consistency_loss(
-    poses: jnp.ndarray, joints: jnp.ndarray
+    poses: jnp.ndarray,
+    joints: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """MSE of per-view canonical joints against their per-coordinate median.
 
@@ -132,10 +138,12 @@ def multiview_consistency_loss(
     semantics: the LOWER middle value for even V), and the loss is the mean
     squared deviation of every view from it (multiview_utility.py:138-167).
     """
+    from spherehand_tpu.ops.reduce import bmean
+
     canonical = apply_rigid(poses, joints)  # (B, V, J, 3)
     num_views = canonical.shape[1]
     med = jnp.sort(canonical, axis=1)[:, (num_views - 1) // 2]
-    return jnp.mean((med[:, None] - canonical) ** 2)
+    return bmean((med[:, None] - canonical) ** 2, weights)
 
 
 def weighted_multiview_consistency_loss(

@@ -52,7 +52,16 @@ class PoseVae(nn.Module):
         logvar = nn.Dense(self.latent_features, name="logvar")(h)
         if reparameterize:
             std = jnp.exp(0.5 * logvar) * 0.1
-            z = mu + jax.random.normal(rng, std.shape, std.dtype) * std
+            # Per-row keys: row i's draw is independent of the batch size, so
+            # padded data-parallel batches reproduce the unpadded rows' noise
+            # exactly (a batch-shaped normal(rng, (B, L)) would not).
+            row_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                rng, jnp.arange(std.shape[0])
+            )
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, std.shape[1:], std.dtype)
+            )(row_keys)
+            z = mu + noise * std
         else:
             z = mu
         d = MlpBlock(256, name="dec0")(z)
@@ -75,18 +84,29 @@ class PoseVae(nn.Module):
 
 
 def prior_loss(
-    params, joints: jnp.ndarray, rng: jax.Array, pose_features: int = 123
+    params,
+    joints: jnp.ndarray,
+    rng: jax.Array,
+    pose_features: int = 123,
+    weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """VAE prior loss on (possibly multi-view) joints already divided by 100.
 
     joints: (..., 41, 3) or (..., 123); flattened to (N, 123). Always uses the
-    reparameterized sample (reference pose_vae.py:81-89).
+    reparameterized sample (reference pose_vae.py:81-89). ``weights`` (N,)
+    marks padded flattened rows with 0 (see :mod:`spherehand_tpu.ops.reduce`).
     """
+    from spherehand_tpu.ops.reduce import bmean, bsum
+
     x = joints.reshape(-1, pose_features)
-    _, _, _, likelihood = PoseVae(pose_features).apply(
+    recon, mu, logvar, likelihood = PoseVae(pose_features).apply(
         {"params": params}, x, rng=rng, reparameterize=True
     )
-    return likelihood
+    if weights is None:
+        return likelihood
+    recon_loss = bmean((x - recon) ** 2, weights)
+    kld = -0.5 * bsum(1.0 + logvar - mu * mu - jnp.exp(logvar), weights)
+    return recon_loss + kld
 
 
 def _dense(state: dict, key: str) -> dict:

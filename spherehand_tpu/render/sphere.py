@@ -64,12 +64,17 @@ def render_sphere_hand(centers: jnp.ndarray, radii: jnp.ndarray, size: int) -> t
 
 
 def data_to_model_distance(
-    depth_maps: jnp.ndarray, centers: jnp.ndarray, radii: jnp.ndarray
+    depth_maps: jnp.ndarray,
+    centers: jnp.ndarray,
+    radii: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Mean distance from observed depth pixels to the nearest sphere surface.
 
     depth_maps: (..., H, W) in mm (background 100); centers: (..., J, 3) mm;
-    radii: (J,). Every foreground pixel is backprojected to 3D; its distance to
+    radii: (J,); weights: optional (batch,) row weights for padded
+    data-parallel batches (spherehand_tpu.ops.reduce). Every foreground pixel
+    is backprojected to 3D; its distance to
     the nearest sphere surface ``| ||p - c|| - r |`` is clamped to [0, 50] and
     averaged over ALL pixels (background contributes 0), matching
     DataToModelLoss (reference mesh/render.py:123-142).
@@ -99,4 +104,6 @@ def data_to_model_distance(
     background = depth_maps > 99.0
     dist_to_surface = jnp.where(background[..., None, :, :], 0.0, dist_to_surface)
     nearest = jnp.min(dist_to_surface, axis=-3)
-    return jnp.mean(jnp.clip(nearest, 0.0, 50.0))
+    from spherehand_tpu.ops.reduce import bmean
+
+    return bmean(jnp.clip(nearest, 0.0, 50.0), weights)

@@ -72,32 +72,45 @@ class Engine:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
         self.hand = load_hand_model()
-        self.steps = build_steps(cfg, self.hand)
 
         # Data-parallel mesh: batches shard over the leading axis, state is
-        # replicated; on one device this degenerates to plain jit. The mesh
-        # takes the most devices that evenly divide every batch size (the
-        # reference defaults of 25/48/8 only admit 1; pass e.g.
-        # --real_batch 24 to use a slice).
+        # replicated; on one device this degenerates to plain jit. Batch
+        # sizes that do not divide the mesh (the reference defaults 25/48/8
+        # on 8 chips) are padded up with duplicate rows at loss-weight zero —
+        # the objective is exactly the single-device one (ops.reduce).
+        # Exception: the temporal-smoothness loss compares consecutive batch
+        # rows, so padding would corrupt it; with --temporal the mesh falls
+        # back to the largest device count dividing every batch size.
         if cfg.data_parallel:
             avail = len(jax.devices())
-            n = max(
-                n for n in range(1, avail + 1)
-                if cfg.real_batch % n == 0
-                and cfg.synt_batch % n == 0
-                and cfg.eval_batch % n == 0
-            )
-            if n < avail:
-                print(
-                    f"[engine] data-parallel over {n}/{avail} devices "
-                    f"(batch sizes {cfg.real_batch}/{cfg.synt_batch}/"
-                    f"{cfg.eval_batch} limit divisibility)"
+            if cfg.temporal:
+                n = max(
+                    n for n in range(1, avail + 1)
+                    if cfg.real_batch % n == 0
+                    and cfg.synt_batch % n == 0
+                    and cfg.eval_batch % n == 0
                 )
+                if n < avail:
+                    print(
+                        f"[engine] --temporal: data-parallel over {n}/{avail} "
+                        f"devices (padding is incompatible with the "
+                        f"consecutive-frame loss)"
+                    )
+            else:
+                n = avail
             self.mesh = data_mesh(jax.devices()[:n])
         else:
+            n = 1
             self.mesh = data_mesh(jax.devices()[:1])
+        self._n_devices = n
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
+        self.steps = build_steps(
+            cfg,
+            self.hand,
+            synt_pad=(-cfg.synt_batch) % n,
+            data_sharding=self._batch_sharding if n > 1 else None,
+        )
 
         self._jit_synt = jax.jit(self.steps.synt_step, donate_argnums=0)
         self._jit_combined = jax.jit(self.steps.combined_step, donate_argnums=0)
@@ -149,9 +162,37 @@ class Engine:
         return NyuLoader(data, batch_size, shuffle, seed=self.cfg.seed)
 
     def _put_batch(self, raw) -> RealBatch:
-        dms, joints, poses, inv_poses = raw
-        put = lambda x: jax.device_put(np.asarray(x), self._batch_sharding)
-        return RealBatch(put(dms), put(joints), put(poses), put(inv_poses))
+        """Shard a host batch over the mesh, padding the leading axis up to a
+        multiple of the device count with wraparound duplicate rows at loss
+        weight 0 (duplicates keep every loss term finite; the weights erase
+        their contribution — spherehand_tpu.ops.reduce)."""
+        dms, joints, poses, inv_poses = (np.asarray(x) for x in raw)
+        n = self._n_devices
+        b = dms.shape[0]
+        pad = (-b) % n
+        weights = None
+        if pad:
+            idx = np.concatenate([np.arange(b), np.arange(pad) % b])
+            dms, joints, poses, inv_poses = (
+                x[idx] for x in (dms, joints, poses, inv_poses)
+            )
+            weights = np.zeros(b + pad, np.float32)
+            weights[:b] = 1.0
+
+        def put(x):
+            if x is None:
+                return None
+            # Per-host input sharding: each process provides only its local
+            # rows on multi-host slices (single-host: equivalent device_put).
+            if hasattr(jax, "make_array_from_process_local_data"):
+                return jax.make_array_from_process_local_data(
+                    self._batch_sharding, x
+                )
+            return jax.device_put(x, self._batch_sharding)
+
+        return RealBatch(
+            put(dms), put(joints), put(poses), put(inv_poses), put(weights)
+        )
 
     # ------------------------------------------------------------- utilities
     def _log(self, text: str) -> None:
@@ -311,13 +352,15 @@ class Engine:
         avg = RunningAverage()
         all_gt, all_est = [], []
         for it, raw in enumerate(loader):
+            n_real = len(raw[0])
             batch = self._put_batch(raw)
             metrics, denoised = self._jit_eval(
                 self.state.params, self._step_key(epoch, it), batch
             )
             avg.append(metrics)
-            all_gt.append(np.asarray(batch.gt_joints[:, 0]))
-            all_est.append(np.asarray(denoised))
+            # Strip any DP padding rows from the persisted result arrays.
+            all_gt.append(np.asarray(batch.gt_joints[:n_real, 0]))
+            all_est.append(np.asarray(denoised)[:n_real])
             if dump_images and it % 100 == 0:
                 dms = np.asarray(batch.dms[:, 0]) * _C.depth_scale
                 img = viz.result_grid(

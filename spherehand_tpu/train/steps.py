@@ -57,12 +57,17 @@ class StepFns(NamedTuple):
 
 
 class RealBatch(NamedTuple):
-    """One NYU multi-view batch (depth in mm, straight from the loader)."""
+    """One NYU multi-view batch (depth in mm, straight from the loader).
+
+    ``weights`` is None for an unpadded batch, else a (B,) vector with 0.0
+    marking rows the engine duplicated in to make B divide the device mesh
+    (zero loss, zero gradient — see spherehand_tpu.ops.reduce)."""
 
     dms: jnp.ndarray         # (B, V, 64, 64) mm, background 100
     gt_joints: jnp.ndarray   # (B, V, 36, 3)
     poses: jnp.ndarray       # (B, V, 4, 4)
     inv_poses: jnp.ndarray   # (B, V, 4, 4)
+    weights: jnp.ndarray | None = None  # (B,) row weights (1 real, 0 pad)
 
 
 def make_optimizer(weight_decay: float = 1e-5) -> optax.GradientTransformation:
@@ -72,8 +77,21 @@ def make_optimizer(weight_decay: float = 1e-5) -> optax.GradientTransformation:
     )
 
 
-def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
-    """Construct the jitted step functions, closed over static config/assets."""
+def build_steps(
+    cfg: EngineConfig,
+    hand: HandModel,
+    synt_pad: int = 0,
+    data_sharding=None,
+) -> StepFns:
+    """Construct the jitted step functions, closed over static config/assets.
+
+    synt_pad: extra synthetic rows generated per step so the on-device batch
+    divides the data-parallel mesh; they carry weight 0 in every synthetic
+    loss term (exact single-device objective at any device count).
+    data_sharding: optional NamedSharding pinning on-device-generated
+    synthetic data to the batch axis — without it a synthetic-only step has
+    no sharded inputs and XLA may keep the whole batch on one device.
+    """
     network = make_network(
         cfg.num_stacks, dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32
     )
@@ -82,6 +100,21 @@ def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
     vae_params = load_pose_vae_params() if cfg.prior else None
     denoiser, denoiser_params = load_pose_denoiser()
     radii = hand.kp_radius
+    synt_total = cfg.synt_batch + synt_pad
+
+    def _synt_weights():
+        if synt_pad == 0:
+            return None
+        return jnp.concatenate(
+            [jnp.ones(cfg.synt_batch), jnp.zeros(synt_pad)]
+        )
+
+    def _shard_synt(synt):
+        if data_sharding is None:
+            return synt
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, data_sharding), synt
+        )
 
     def init_state(key: jax.Array) -> TrainState:
         params = network.init(key, jnp.zeros((1, 64, 64)))["params"]
@@ -114,14 +147,15 @@ def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
     def synt_step(state: TrainState, key: jax.Array, lr: jnp.ndarray):
         """Synthetic-only pretraining step (engine.py:265-316)."""
         k_pose, k_synt, k_rs = jax.random.split(key, 3)
-        pose_params = sample_poses(k_pose, cfg.synt_batch)
-        synt = synthesize(hand, k_synt, pose_params)
+        pose_params = sample_poses(k_pose, synt_total)
+        synt = _shard_synt(synthesize(hand, k_synt, pose_params))
         synt = synt._replace(dms=_maybe_resample(k_rs, synt.dms))
+        synt_w = _synt_weights()
 
         def loss_fn(params):
             out = forward(network, params, synt_dms=synt.dms)
             terms, _, _ = multitask_loss(
-                loss_cfg, out, radii, synt_target=synt
+                loss_cfg, out, radii, synt_target=synt, synt_weights=synt_w
             )
             return combine_loss(terms), (terms, out)
 
@@ -130,8 +164,10 @@ def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
         )
         state = _apply_updates(state, grads, lr, state.prev_skel, state.has_prev)
         metrics = {"loss": loss, **terms}
-        metrics["synt_joint_err"] = jnp.mean(
-            jnp.linalg.norm(out.synt_xyz[-1] - synt.xyz, axis=-1)
+        from spherehand_tpu.ops.reduce import bmean
+
+        metrics["synt_joint_err"] = bmean(
+            jnp.linalg.norm(out.synt_xyz[-1] - synt.xyz, axis=-1), synt_w
         )
         return state, metrics
 
@@ -144,8 +180,9 @@ def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
     ):
         """Mixed synthetic + real self-supervised step (engine.py:318-436)."""
         k_pose, k_synt, k_rs, k_aug, k_prior = jax.random.split(key, 5)
-        pose_params = sample_poses(k_pose, cfg.synt_batch)
-        synt = synthesize(hand, k_synt, pose_params)
+        pose_params = sample_poses(k_pose, synt_total)
+        synt = _shard_synt(synthesize(hand, k_synt, pose_params))
+        synt_w = _synt_weights()
 
         scaled_real = batch.dms * _C.depth_scale
         if cfg.depth_resample:
@@ -182,6 +219,8 @@ def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
                 is_mv=is_mv,
                 prev_skel=state.prev_skel,
                 has_prev=state.has_prev,
+                real_weights=batch.weights,
+                synt_weights=synt_w,
             )
             return combine_loss(terms), (terms, out, new_prev)
 
@@ -194,7 +233,7 @@ def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
         state = _apply_updates(state, grads, lr, prev_skel, has_prev)
         metrics = {"loss": loss, **terms}
         metrics["avg_joint_error"] = average_joint_error(
-            batch.gt_joints, out.real_xyz[-1]
+            batch.gt_joints, out.real_xyz[-1], weights=batch.weights
         )
         # Visualization payload (final stack). Device arrays; the engine only
         # materializes them at its image-dump cadence (engine.py:386-434).
@@ -241,6 +280,7 @@ def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
                 is_mv=jnp.asarray(True),
                 prev_skel=state.prev_skel,
                 has_prev=state.has_prev,
+                real_weights=batch.weights,
             )
             return combine_loss(terms), (terms, out, new_prev)
 
@@ -253,7 +293,7 @@ def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
         state = _apply_updates(state, grads, lr, prev_skel, has_prev)
         metrics = {"loss": loss, **terms}
         metrics["avg_joint_error"] = average_joint_error(
-            batch.gt_joints, out.real_xyz[-1]
+            batch.gt_joints, out.real_xyz[-1], weights=batch.weights
         )
         return state, metrics
 
@@ -276,15 +316,16 @@ def build_steps(cfg: EngineConfig, hand: HandModel) -> StepFns:
             real_target=real_target,
             rng=key,
             is_mv=jnp.asarray(True),
+            real_weights=batch.weights,
         )
         est = out.real_xyz[-1][:, 0]  # (B, 41, 3), view 0
         denoised = denoiser.apply({"params": denoiser_params}, est)
         metrics = {**terms}
         metrics["avg_joint_error"] = average_joint_error(
-            batch.gt_joints[:, 0], denoised
+            batch.gt_joints[:, 0], denoised, weights=batch.weights
         )
         metrics["avg_joint_error_raw"] = average_joint_error(
-            batch.gt_joints[:, 0], est
+            batch.gt_joints[:, 0], est, weights=batch.weights
         )
         return metrics, denoised
 
