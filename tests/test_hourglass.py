@@ -50,3 +50,41 @@ def test_hourglass_bf16_close_to_f32():
     np.testing.assert_allclose(
         np.asarray(s16[0]), np.asarray(s32[0]), atol=0.05
     )
+
+
+def test_pth_checkpoint_roundtrip(goldens, tmp_path):
+    """A torch.save'd .pth round-trips through tools/import_torch_checkpoint
+    into load_params_npz-format and reproduces the golden outputs — so a
+    released reference checkpoint (README.md:35-42) imports one-command."""
+    torch = __import__("pytest").importorskip("torch")
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from import_torch_checkpoint import import_checkpoint
+
+    from spherehand_tpu.infer import load_params_npz
+
+    g = goldens("hourglass")
+    meta = {"x", "out0", "out1", "latent0", "latent1"}
+    # DataParallel-style 'module.' prefixes + a {'state_dict': ...} envelope,
+    # the wrappers released checkpoints typically carry.
+    state = {
+        "module." + k.replace("/", "."): torch.from_numpy(np.asarray(g[k]))
+        for k in g.files
+        if k not in meta
+    }
+    pth = tmp_path / "released.pth"
+    torch.save({"state_dict": state}, str(pth))
+
+    out_npz = tmp_path / "imported.npz"
+    import_checkpoint(str(pth), str(out_npz), num_stacks=2)
+    params = load_params_npz(str(out_npz))
+
+    net = HourglassNet(num_stacks=2, num_outputs=82)
+    outs, _ = net.apply({"params": params}, jnp.asarray(g["x"]))
+    # NHWC -> NCHW for comparison with the torch outputs.
+    np.testing.assert_allclose(
+        np.asarray(outs[0]).transpose(0, 3, 1, 2), g["out0"], atol=2e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[1]).transpose(0, 3, 1, 2), g["out1"], atol=2e-3, rtol=1e-3
+    )

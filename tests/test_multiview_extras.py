@@ -63,3 +63,34 @@ def test_temporal_smoothness_state_carry():
     j = np.asarray(joints)
     prev_stack = np.concatenate([np.asarray(new_prev)[None], j[:-1]])
     np.testing.assert_allclose(float(loss1), np.mean((j - prev_stack) ** 2), rtol=1e-5)
+
+
+def test_extras_match_torch_goldens(goldens):
+    """Torch-reference parity for the dormant modules (multiview_extras.npz:
+    TemporalSmoothnessLoss util_modules.py:349-381, Weighted MV consistency +
+    FuseMvPose multiview_utility.py:170-237)."""
+    g = goldens("multiview_extras")
+    joints = jnp.asarray(g["joints"])
+    joints2 = jnp.asarray(g["joints2"])
+    poses = jnp.asarray(g["poses"])
+    inv_poses = jnp.asarray(g["inv_poses"])
+
+    # temporal: first call (no previous state), then carried state
+    loss0, prev, has_prev = temporal_smoothness(
+        joints, jnp.zeros_like(joints[0]), jnp.asarray(False)
+    )
+    np.testing.assert_allclose(float(loss0), g["temporal_first"], rtol=1e-5)
+    loss1, _, _ = temporal_smoothness(joints2, prev, has_prev)
+    np.testing.assert_allclose(float(loss1), g["temporal_second"], rtol=1e-5)
+
+    w_loss = weighted_multiview_consistency_loss(
+        poses, joints, jnp.asarray(g["hm_weight"])
+    )
+    np.testing.assert_allclose(
+        float(w_loss), g["weighted_consistency"], rtol=1e-5
+    )
+
+    fused = fuse_mv_pose(joints, poses, inv_poses, jnp.asarray(g["uv_hm"]))
+    np.testing.assert_allclose(
+        np.asarray(fused), g["fused_joints"], rtol=1e-4, atol=1e-3
+    )

@@ -318,6 +318,62 @@ def golden_multiview(mesh) -> None:
     print("multiview.npz", loss_mv.item(), loss_sv.item(), cons.item())
 
 
+def golden_multiview_extras(mesh) -> None:
+    """Temporal smoothness, weighted MV consistency, FuseMvPose — the
+    imported-but-dormant reference modules (util_modules.py:349-381,
+    multiview_utility.py:170-237)."""
+    from mesh.multiview_utility import FuseMvPose, WeightedMultiviewConsistencyLoss
+    from network.util_modules import TemporalSmoothnessLoss
+
+    rng = np.random.RandomState(23)
+    B, V, J = 3, 3, 41
+    joints = rng.uniform(-80, 80, size=(B, V, J, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+
+    def rand_rot():
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        w, x, y, z = q
+        return np.asarray([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ], np.float32)
+
+    for b in range(B):
+        for v in range(1, V):
+            poses[b, v, :3, :3] = rand_rot()
+    inv_poses = np.linalg.inv(poses).astype(np.float32)
+    hm_weight = rng.uniform(0.1, 1.0, size=(B, V, J, 1)).astype(np.float32)
+    uv_hm = rng.uniform(0.0, 1.0, size=(B, V, J, 16, 16)).astype(np.float32)
+    joints2 = rng.uniform(-80, 80, size=(B, V, J, 3)).astype(np.float32)
+
+    temporal = TemporalSmoothnessLoss()
+    wmvc = WeightedMultiviewConsistencyLoss()
+    fuse = FuseMvPose()
+    with torch.no_grad():
+        t_first = temporal(torch.from_numpy(joints))   # previous_skel None
+        t_second = temporal(torch.from_numpy(joints2))  # carried state
+        w_loss = wmvc(
+            torch.from_numpy(poses), torch.from_numpy(joints),
+            torch.from_numpy(hm_weight),
+        )
+        fused = fuse(
+            torch.from_numpy(joints), torch.from_numpy(poses),
+            torch.from_numpy(inv_poses), torch.from_numpy(uv_hm),
+        )
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "multiview_extras.npz"),
+        joints=joints, joints2=joints2, poses=poses, inv_poses=inv_poses,
+        hm_weight=hm_weight[..., 0], uv_hm=uv_hm,
+        temporal_first=np.float32(t_first.item()),
+        temporal_second=np.float32(t_second.item()),
+        weighted_consistency=np.float32(w_loss.item()),
+        fused_joints=fused.numpy(),
+    )
+    print("multiview_extras.npz", t_first.item(), t_second.item(), w_loss.item())
+
+
 def golden_nyu_crop() -> None:
     sys.path.insert(0, os.path.join(REFERENCE, "dataset"))
     import utils as ref_utils
@@ -376,6 +432,7 @@ def main() -> None:
     golden_heatmap_render(mesh)
     golden_geometric_losses(mesh)
     golden_multiview(mesh)
+    golden_multiview_extras(mesh)
     golden_softargmax()
     golden_nyu_crop()
 
