@@ -77,7 +77,8 @@ FREC_F = 9   # fields per fast-mode face record
 FREC_E = 24  # fields per exact-mode face record
 CHUNK = 64   # faces per compute chunk (sublane dimension)
 TILE_S = 8   # tile edge in samples -> 64 samples/tile
-QUAD = 8     # tiles processed per loop iteration (8 x 64 samples = 512 lanes)
+QUAD_FAST = 16   # tiles per loop iteration, fast kernel (1024 lanes)
+QUAD_EXACT = 8   # exact kernel has ~2x the live intermediates: 16 spills
 
 
 def _sort_vertices_by_x(face_vertices: jnp.ndarray) -> jnp.ndarray:
@@ -255,20 +256,21 @@ def _window_ranges(starts_ref, base, t0, tiles_x, num_tiles, quad):
 
 def _raster_kernel_fast(
     starts_ref,  # scalar prefetch: (B*(NT+2),) int32
-    xcoord_ref,  # (NT/QUAD, QUAD*64) per-quad sample x (full array in VMEM)
-    ycoord_ref,  # (NT/QUAD, QUAD*64)
+    xcoord_ref,  # (NT/quad, quad*64) per-quad sample x (full array in VMEM)
+    ycoord_ref,  # (NT/quad, quad*64)
     fdata_ref,   # (1, E, FREC_F) sorted fast records (block, auto-pipelined)
-    out_ref,     # (1, NT/QUAD, QUAD*64)
+    out_ref,     # (1, NT/quad, quad*64)
     *,
     num_tiles: int,
     tiles_x: int,
+    quad: int,
 ):
     b = pl.program_id(0)
     base = b * (num_tiles + 2)
-    lanes = QUAD * TILE_S * TILE_S
+    lanes = quad * TILE_S * TILE_S
 
     def quad_body(q, _):
-        t0 = q * QUAD
+        t0 = q * quad
         x = xcoord_ref[q, :][None, :]  # (1, lanes)
         y = ycoord_ref[q, :][None, :]
 
@@ -306,7 +308,7 @@ def _raster_kernel_fast(
             return jax.lax.fori_loop(0, n_chunks, chunk_fast, zbuf)
 
         win_a, win_b, win_c = _window_ranges(
-            starts_ref, base, t0, tiles_x, num_tiles, QUAD
+            starts_ref, base, t0, tiles_x, num_tiles, quad
         )
 
         out_ref[0, q, :] = jnp.full((lanes,), 1000.0, jnp.float32)
@@ -324,7 +326,7 @@ def _raster_kernel_fast(
 
         return 0
 
-    jax.lax.fori_loop(0, num_tiles // QUAD, quad_body, 0)
+    jax.lax.fori_loop(0, num_tiles // quad, quad_body, 0)
 
 
 def _raster_kernel_exact(
@@ -337,13 +339,14 @@ def _raster_kernel_exact(
     num_tiles: int,
     tiles_x: int,
     height: int,
+    quad: int,
 ):
     b = pl.program_id(0)
     base = b * (num_tiles + 2)
-    lanes = QUAD * TILE_S * TILE_S
+    lanes = quad * TILE_S * TILE_S
 
     def quad_body(q, _):
-        t0 = q * QUAD
+        t0 = q * quad
         x = xcoord_ref[q, :][None, :]
         y = ycoord_ref[q, :][None, :]
 
@@ -397,7 +400,7 @@ def _raster_kernel_exact(
             return jax.lax.fori_loop(0, n_chunks, chunk_exact, zbuf)
 
         win_a, win_b, win_c = _window_ranges(
-            starts_ref, base, t0, tiles_x, num_tiles, QUAD
+            starts_ref, base, t0, tiles_x, num_tiles, quad
         )
 
         out_ref[0, q, :] = jnp.full((lanes,), 1000.0, jnp.float32)
@@ -415,7 +418,7 @@ def _raster_kernel_exact(
 
         return 0
 
-    jax.lax.fori_loop(0, num_tiles // QUAD, quad_body, 0)
+    jax.lax.fori_loop(0, num_tiles // quad, quad_body, 0)
 
 
 @functools.partial(
@@ -511,31 +514,32 @@ def rasterize_depth_binned(
     if target > num_faces:
         fdata = jnp.pad(fdata, ((0, 0), (0, target - num_faces), (0, 0)))
 
-    # Per-quad sample coordinate tables (NT/QUAD, QUAD*64): quads are 4
+    # Per-quad sample coordinate tables (NT/quad, quad*64): quads are `quad`
     # consecutive row-major tiles, so the quad rows are just a reshape of the
     # per-tile (NT, 64) table.
-    assert tiles_x % QUAD == 0
+    quad = QUAD_EXACT if exact else QUAD_FAST
+    assert tiles_x % quad == 0
     samples_per_tile = TILE_S * TILE_S
     shape4 = (tiles_y, tiles_x, TILE_S, TILE_S)
-    num_quads = num_tiles // QUAD
+    num_quads = num_tiles // quad
     xcoords = jnp.broadcast_to(
         sample_x.reshape(1, tiles_x, 1, TILE_S), shape4
-    ).reshape(num_quads, QUAD * samples_per_tile)
+    ).reshape(num_quads, quad * samples_per_tile)
     ycoords = jnp.broadcast_to(
         sample_y.reshape(tiles_y, 1, TILE_S, 1), shape4
-    ).reshape(num_quads, QUAD * samples_per_tile)
+    ).reshape(num_quads, quad * samples_per_tile)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch,),
         in_specs=[
             pl.BlockSpec(
-                (num_quads, QUAD * samples_per_tile),
+                (num_quads, quad * samples_per_tile),
                 lambda b, s: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (num_quads, QUAD * samples_per_tile),
+                (num_quads, quad * samples_per_tile),
                 lambda b, s: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -546,7 +550,7 @@ def rasterize_depth_binned(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, num_quads, QUAD * samples_per_tile),
+            (1, num_quads, quad * samples_per_tile),
             lambda b, s: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -557,17 +561,19 @@ def rasterize_depth_binned(
             num_tiles=num_tiles,
             tiles_x=tiles_x,
             height=height,
+            quad=quad,
         )
     else:
         kernel = functools.partial(
             _raster_kernel_fast,
             num_tiles=num_tiles,
             tiles_x=tiles_x,
+            quad=quad,
         )
     tile_depths = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (batch, num_quads, QUAD * samples_per_tile), jnp.float32
+            (batch, num_quads, quad * samples_per_tile), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
