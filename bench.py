@@ -20,7 +20,7 @@ import os
 import time
 
 TARGET_FPS = 50_000.0
-BATCH = 512
+BATCH = 1024
 ITERS = 20
 
 

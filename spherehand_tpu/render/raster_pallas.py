@@ -241,21 +241,24 @@ def nondump_counts(face_vertices, sample_x, sample_y, tiles_x=16, tiles_y=16,
     return jnp.sum(keys != num_tiles + 1, axis=-1)
 
 
-def _window_ranges(starts_ref, base, t0, tiles_x, num_tiles, quad):
+def _window_ranges(starts_ref, row, t0, tiles_x, num_tiles, quad):
     """The three sorted-buffer windows relevant to tiles [t0, t0+quad):
-    same-row buckets {t0-1..t0+quad-1}, the row above, and overflow."""
-    rs_a = starts_ref[base + jnp.maximum(t0 - 1, 0)]
-    re_a = starts_ref[base + t0 + quad]
+    same-row buckets {t0-1..t0+quad-1}, the row above, and overflow.
+    starts_ref: bucket offsets in SMEM — either the whole scalar-prefetched
+    (B, NT+2) array (row = program id) or a streamed (8, NTpad) block
+    (row = program id % 8; SMEM blocks need >= 8 sublanes)."""
+    rs_a = starts_ref[row, jnp.maximum(t0 - 1, 0)]
+    re_a = starts_ref[row, t0 + quad]
     up = t0 - tiles_x
-    rs_b = starts_ref[base + jnp.maximum(up - 1, 0)]
-    re_b = starts_ref[base + jnp.maximum(up + quad, 0)]
-    rs_c = starts_ref[base + num_tiles]
-    re_c = starts_ref[base + num_tiles + 1]
+    rs_b = starts_ref[row, jnp.maximum(up - 1, 0)]
+    re_b = starts_ref[row, jnp.maximum(up + quad, 0)]
+    rs_c = starts_ref[row, num_tiles]
+    re_c = starts_ref[row, num_tiles + 1]
     return (rs_a, re_a), (rs_b, re_b), (rs_c, re_c)
 
 
 def _raster_kernel_fast(
-    starts_ref,  # scalar prefetch: (B*(NT+2),) int32
+    starts_ref,  # (8, NTpad) int32 bucket offsets, 8 images/block (SMEM)
     xcoord_ref,  # (NT/quad, quad*64) per-quad sample x (full array in VMEM)
     ycoord_ref,  # (NT/quad, quad*64)
     fdata_ref,   # (1, E, FREC_F) sorted fast records (block, auto-pipelined)
@@ -264,10 +267,13 @@ def _raster_kernel_fast(
     num_tiles: int,
     tiles_x: int,
     quad: int,
+    smem_blocks: bool,
 ):
-    b = pl.program_id(0)
-    base = b * (num_tiles + 2)
     lanes = quad * TILE_S * TILE_S
+    if smem_blocks:
+        row = pl.program_id(0) % 8
+    else:
+        row = pl.program_id(0)
 
     def quad_body(q, _):
         t0 = q * quad
@@ -308,7 +314,7 @@ def _raster_kernel_fast(
             return jax.lax.fori_loop(0, n_chunks, chunk_fast, zbuf)
 
         win_a, win_b, win_c = _window_ranges(
-            starts_ref, base, t0, tiles_x, num_tiles, quad
+            starts_ref, row, t0, tiles_x, num_tiles, quad
         )
 
         out_ref[0, q, :] = jnp.full((lanes,), 1000.0, jnp.float32)
@@ -340,10 +346,13 @@ def _raster_kernel_exact(
     tiles_x: int,
     height: int,
     quad: int,
+    smem_blocks: bool,
 ):
-    b = pl.program_id(0)
-    base = b * (num_tiles + 2)
     lanes = quad * TILE_S * TILE_S
+    if smem_blocks:
+        row = pl.program_id(0) % 8
+    else:
+        row = pl.program_id(0)
 
     def quad_body(q, _):
         t0 = q * quad
@@ -400,7 +409,7 @@ def _raster_kernel_exact(
             return jax.lax.fori_loop(0, n_chunks, chunk_exact, zbuf)
 
         win_a, win_b, win_c = _window_ranges(
-            starts_ref, base, t0, tiles_x, num_tiles, quad
+            starts_ref, row, t0, tiles_x, num_tiles, quad
         )
 
         out_ref[0, q, :] = jnp.full((lanes,), 1000.0, jnp.float32)
@@ -425,7 +434,7 @@ def _raster_kernel_exact(
     jax.jit,
     static_argnames=(
         "width", "height", "tiles_x", "tiles_y", "interpret", "exact",
-        "valid_frac", "pool_clamp",
+        "valid_frac", "pool_clamp", "smem_block_starts",
     ),
 )
 def rasterize_depth_binned(
@@ -440,6 +449,7 @@ def rasterize_depth_binned(
     exact: bool = True,
     valid_frac: float = 1.0,
     pool_clamp: float | None = None,
+    smem_block_starts: bool | None = None,
 ) -> jnp.ndarray:
     """Tile-binned Pallas rasterization at integer sample positions.
 
@@ -529,29 +539,50 @@ def rasterize_depth_binned(
         sample_y.reshape(tiles_y, 1, TILE_S, 1), shape4
     ).reshape(num_quads, quad * samples_per_tile)
 
+    # Bucket offsets: scalar-prefetch the whole (B, NT+2) array while it
+    # fits the 1 MB SMEM budget (slightly faster); above that (B=1024+, or
+    # fine tiles) stream 8-image SMEM blocks instead.
+    smem_blocks = batch * (num_tiles + 2) * 4 > 512 * 1024
+    if smem_block_starts is not None:  # test override
+        smem_blocks = smem_block_starts
+    if smem_blocks:
+        starts_in = jnp.pad(
+            starts,
+            ((0, (-batch) % 8), (0, (-(num_tiles + 2)) % 128)),
+        )
+        starts_spec = pl.BlockSpec(
+            (8, starts_in.shape[1]),
+            lambda b, *_: (b // 8, 0),
+            memory_space=pltpu.SMEM,
+        )
+        num_prefetch = 0
+    else:
+        starts_in = starts
+        starts_spec = None
+        num_prefetch = 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=num_prefetch,
         grid=(batch,),
-        in_specs=[
+        in_specs=([starts_spec] if starts_spec is not None else []) + [
             pl.BlockSpec(
                 (num_quads, quad * samples_per_tile),
-                lambda b, s: (0, 0),
+                lambda b, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (num_quads, quad * samples_per_tile),
-                lambda b, s: (0, 0),
+                lambda b, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, fdata.shape[1], fdata.shape[2]),
-                lambda b, s: (b, 0, 0),
+                lambda b, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, num_quads, quad * samples_per_tile),
-            lambda b, s: (b, 0, 0),
+            lambda b, *_: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -562,6 +593,7 @@ def rasterize_depth_binned(
             tiles_x=tiles_x,
             height=height,
             quad=quad,
+            smem_blocks=smem_blocks,
         )
     else:
         kernel = functools.partial(
@@ -569,6 +601,7 @@ def rasterize_depth_binned(
             num_tiles=num_tiles,
             tiles_x=tiles_x,
             quad=quad,
+            smem_blocks=smem_blocks,
         )
     tile_depths = pl.pallas_call(
         kernel,
@@ -578,7 +611,7 @@ def rasterize_depth_binned(
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        starts.reshape(-1),
+        starts_in,
         xcoords,
         ycoords,
         fdata,
