@@ -247,6 +247,7 @@ def render_depth_64(
             width=_C.raster_size, height=_C.raster_size,
             tiles_x=tiles, tiles_y=tiles, exact=exact,
             valid_frac=0.62, pool_clamp=float(_C.background_depth),
+            bilinear_grid=(out_size, scale),
         )
     zbuf = rasterize_depth(
         face_verts, samples, samples,

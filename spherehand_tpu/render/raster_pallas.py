@@ -5,14 +5,22 @@ replicates the reference CUDA kernel, depth_rasterization_cuda_kernel.cu), but
 restructured for TPU speed-of-light. Design, shaped by per-op profiling on a
 v5e chip (history in PERF.md):
 
-1. **Binning (XLA pre-pass).** Each face gets ONE sort key: the sample tile
-   containing its bbox LOW corner (faces spanning more than 2x2 tiles go to a
-   shared overflow bucket; off-screen/back-facing/degenerate faces to a dump
-   bucket at the end). Per-bucket offsets come from a histogram + cumsum
-   (searchsorted's binary-search lowering is a TPU while-loop that once
-   dominated this pipeline). A tile's relevant faces (bbox <= tile size =>
-   low corner in its 2x2 upper-left neighborhood) then live in two contiguous
-   windows of the sorted buffer: buckets {t-1..t+3} and the row above.
+1. **Binning (XLA pre-pass).** Each face gets ONE sort key. Since the kernel
+   quads span FULL TILE ROWS (quad == tiles_x, the production config), keys
+   are TILE-ROW indices: the row containing the bbox LOW corner (faces
+   spanning more than 2 tile rows go to a shared overflow bucket —
+   horizontal extent never overflows; off-screen/back-facing/degenerate
+   faces to a dump bucket at the end). Row r's relevant faces then live in
+   ONE contiguous window [starts[r-1], starts[r+1]) of the sorted buffer,
+   plus overflow. Per-bucket offsets come from an 18-column histogram +
+   cumsum, and each quad's chunk-loop ranges (aligned start + chunk count)
+   are precomputed here, vectorized — the kernel does four SMEM reads per
+   quad and no scalar arithmetic. For custom tiles_x > quad configs the
+   legacy tile-granular keys/windows remain (_quad_ranges docstring).
+   With a known uniform ``bilinear_grid`` the bbox->sample-index mapping is
+   closed-form integer math; otherwise searchsorted(method="compare_all")
+   (the default binary-search lowering is a TPU while-loop that once
+   dominated this pipeline).
 
 2. **Payload sort, no gather.** The face records ride through the ONE
    ``jax.lax.sort`` as payload operands (the 9 sorted-vertex coordinates),
@@ -38,9 +46,11 @@ v5e chip (history in PERF.md):
 
 5. **Kernel.** Grid = (batch,): one program per image; the whole sorted
    record buffer rides into VMEM through the normal BlockSpec pipeline (auto
-   double-buffered), FACES ON SUBLANES and SAMPLES ON LANES, 4-tile quads per
-   loop iteration (full 256-lane VPU width). No atomics anywhere: the z-test
-   is a lane reduction (the CUDA original needs a CAS loop, .cu:6-16).
+   double-buffered), FACES ON SUBLANES and SAMPLES ON LANES, full-row quads
+   (16 tiles = 1024 lanes) per loop iteration with lanes ordered CANVAS
+   ROW-MAJOR, so the kernel output is the canvas itself (no tile->canvas
+   transpose). No atomics anywhere: the z-test is a lane reduction (the CUDA
+   original needs a CAS loop, .cu:6-16).
    - *Fast mode* (production, training-data generation): half-plane coverage
      on raw barycentrics (w2 = 1 - w0 - w1 — true barycentrics sum to one),
      and depth comes from ONE precomputed affine form q = qa*x + qb*y + qc
@@ -77,8 +87,9 @@ FREC_F = 9   # fields per fast-mode face record
 FREC_E = 24  # fields per exact-mode face record
 CHUNK = 64   # faces per compute chunk (sublane dimension)
 TILE_S = 8   # tile edge in samples -> 64 samples/tile
-QUAD_FAST = 16   # tiles per loop iteration, fast kernel (1024 lanes)
-QUAD_EXACT = 8   # exact kernel has ~2x the live intermediates: 16 spills
+QUAD_FAST = 16   # tiles per loop iteration = full tile row (1024 lanes)
+QUAD_EXACT = 16  # full-row quads for exact too, but with...
+CHUNK_EXACT = 16  # ...smaller chunks: the ~2x live intermediates spill at 64
 
 
 def _sort_vertices_by_x(face_vertices: jnp.ndarray) -> jnp.ndarray:
@@ -195,10 +206,43 @@ def _stack_records(cols) -> jnp.ndarray:
     return jnp.stack(cols, axis=0).transpose(1, 2, 0)
 
 
-def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
-    """Single low-corner tile key per face. Returns (keys (B, F), num_tiles)."""
-    num_tiles = tiles_x * tiles_y
-    overflow, dump = num_tiles, num_tiles + 1
+def _paired_grid_searchsorted(v, side: str, n_out: int, scale: int):
+    """Closed-form ``searchsorted`` for the bilinear sample grid.
+
+    The grid is ``n_out`` pairs ``{s*d + s/2 - 1, s*d + s/2}`` (see
+    raster.bilinear_sample_positions). Every query here is integer-valued
+    (ceil/trunc of bbox corners), so the insertion index is two clipped
+    integer floor-divisions per residue class — replacing four
+    ``compare_all`` reductions that cost ~1.3 ms/call at B=512.
+    """
+    h = scale // 2
+    vi = jnp.clip(v, -1e6, 1e6).astype(jnp.int32)
+    if side == "left":  # count grid entries < v
+        ca = (vi - h) // scale + 1       # s*d + h - 1 < v
+        cb = (vi - h - 1) // scale + 1   # s*d + h < v
+    else:  # count grid entries <= v
+        ca = (vi - h + 1) // scale + 1
+        cb = (vi - h) // scale + 1
+    return jnp.clip(ca, 0, n_out) + jnp.clip(cb, 0, n_out)
+
+
+def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height,
+               rows: bool = False, bilinear_grid: tuple[int, int] | None = None):
+    """Single low-corner bin key per face.
+
+    rows=False: tile-granular keys (num_buckets = tiles_x * tiles_y); a face
+    whose bbox spans more than 2x2 tiles goes to overflow.
+
+    rows=True: TILE-ROW keys (num_buckets = tiles_y). Kernel quads that span
+    a full tile row only ever consume row-pair windows, so tile-granular keys
+    buy nothing there — row keys shrink the histogram 14x and, crucially, a
+    face goes to overflow only when its bbox spans >2 tile ROWS; horizontal
+    extent never overflows, so the per-quad overflow scan almost vanishes.
+
+    Returns (keys (B, F), num_buckets); overflow = num_buckets, dump = +1.
+    """
+    num_buckets = tiles_y if rows else tiles_x * tiles_y
+    overflow, dump = num_buckets, num_buckets + 1
 
     px = p[..., 0]
     py = p[..., 1]
@@ -210,8 +254,15 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
 
     # compare_all: the default binary-search lowering is a while loop that
     # once dominated the whole render (4 x ~26 ms per 128-batch call).
-    def srt(grid, v, side):
-        return jnp.searchsorted(grid, v, side=side, method="compare_all")
+    # bilinear_grid short-circuits even that with closed-form index math.
+    if bilinear_grid is not None:
+        n_out, scale = bilinear_grid
+
+        def srt(grid, v, side):
+            return _paired_grid_searchsorted(v, side, n_out, scale)
+    else:
+        def srt(grid, v, side):
+            return jnp.searchsorted(grid, v, side=side, method="compare_all")
 
     i_lo = srt(sample_x, jnp.ceil(xmin), "left")
     i_hi = srt(sample_x, xmax_c, "right") - 1
@@ -219,15 +270,18 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height):
     j_hi = srt(sample_y, ymax_c, "right") - 1
     empty = (i_hi < i_lo) | (j_hi < j_lo) | ~valid
 
-    tx_lo = jnp.clip(i_lo // TILE_S, 0, tiles_x - 1)
-    tx_hi = jnp.clip(i_hi // TILE_S, 0, tiles_x - 1)
     ty_lo = jnp.clip(j_lo // TILE_S, 0, tiles_y - 1)
     ty_hi = jnp.clip(j_hi // TILE_S, 0, tiles_y - 1)
-    big = ((tx_hi - tx_lo) > 1) | ((ty_hi - ty_lo) > 1)
-
-    low_corner = ty_lo * tiles_x + tx_lo
+    if rows:
+        big = (ty_hi - ty_lo) > 1
+        low_corner = ty_lo
+    else:
+        tx_lo = jnp.clip(i_lo // TILE_S, 0, tiles_x - 1)
+        tx_hi = jnp.clip(i_hi // TILE_S, 0, tiles_x - 1)
+        big = ((tx_hi - tx_lo) > 1) | ((ty_hi - ty_lo) > 1)
+        low_corner = ty_lo * tiles_x + tx_lo
     keys = jnp.where(empty, dump, jnp.where(big, overflow, low_corner))
-    return keys.astype(jnp.int32), num_tiles
+    return keys.astype(jnp.int32), num_buckets
 
 
 def nondump_counts(face_vertices, sample_x, sample_y, tiles_x=16, tiles_y=16,
@@ -241,20 +295,46 @@ def nondump_counts(face_vertices, sample_x, sample_y, tiles_x=16, tiles_y=16,
     return jnp.sum(keys != num_tiles + 1, axis=-1)
 
 
-def _window_ranges(starts_ref, row, t0, tiles_x, num_tiles, quad):
-    """The three sorted-buffer windows relevant to tiles [t0, t0+quad):
-    same-row buckets {t0-1..t0+quad-1}, the row above, and overflow.
-    starts_ref: bucket offsets in SMEM — either the whole scalar-prefetched
-    (B, NT+2) array (row = program id) or a streamed (8, NTpad) block
-    (row = program id % 8; SMEM blocks need >= 8 sublanes)."""
+def _quad_ranges(starts_ref, row, q, tiles_x, num_buckets, quad, chunk,
+                 bin_rows):
+    """Chunk-loop ranges ``(aligned_start, n_chunks)`` for the tiles
+    [q*quad, (q+1)*quad).
+
+    Row-granular binning (bin_rows=True, quads span full tile rows): the
+    SMEM operand is a PRECOMPUTED quad table (B, NQ*4) int32 of
+    [aligned_main, n_main, aligned_overflow, n_overflow] per quad — the
+    same-row and row-above windows collapse into one contiguous range
+    [starts[r-1], starts[r+1]), and all the alignment/count scalar math runs
+    vectorized in XLA instead of 2x per quad per program (see
+    rasterize_depth_binned). Four SMEM reads, zero in-kernel arithmetic.
+
+    Tile-granular binning (bin_rows=False): the SMEM operand is the raw
+    bucket-offset array (B, NB+2) and the three windows — same-row buckets
+    {t0-1..t0+quad-1}, the row above, and overflow — are aligned/counted
+    here.
+
+    row: either the program id (scalar-prefetched whole array) or
+    program id % 8 (streamed (8, .) SMEM blocks need >= 8 sublanes)."""
+    if bin_rows:
+        c = q * 4
+        return [
+            (starts_ref[row, c], starts_ref[row, c + 1]),
+            (starts_ref[row, c + 2], starts_ref[row, c + 3]),
+        ]
+
+    def pre(rs, re):
+        aligned = (rs // 8) * 8  # sublane tiling is 8
+        n = jnp.where(re > rs, (re - aligned + chunk - 1) // chunk, 0)
+        return aligned, n
+
+    t0 = q * quad
     rs_a = starts_ref[row, jnp.maximum(t0 - 1, 0)]
     re_a = starts_ref[row, t0 + quad]
     up = t0 - tiles_x
     rs_b = starts_ref[row, jnp.maximum(up - 1, 0)]
     re_b = starts_ref[row, jnp.maximum(up + quad, 0)]
-    rs_c = starts_ref[row, num_tiles]
-    re_c = starts_ref[row, num_tiles + 1]
-    return (rs_a, re_a), (rs_b, re_b), (rs_c, re_c)
+    over = (starts_ref[row, num_buckets], starts_ref[row, num_buckets + 1])
+    return [pre(rs_a, re_a), pre(rs_b, re_b), pre(*over)]
 
 
 def _raster_kernel_fast(
@@ -265,9 +345,13 @@ def _raster_kernel_fast(
     out_ref,     # (1, NT/quad, quad*64)
     *,
     num_tiles: int,
+    num_buckets: int,
     tiles_x: int,
     quad: int,
+    chunk: int,
     smem_blocks: bool,
+    bin_rows: bool,
+    stub: bool = False,
 ):
     lanes = quad * TILE_S * TILE_S
     if smem_blocks:
@@ -275,9 +359,12 @@ def _raster_kernel_fast(
     else:
         row = pl.program_id(0)
 
+    # With row quads the x pattern repeats every row: read the (1, lanes)
+    # table ONCE outside the quad loop.
+    x_row = xcoord_ref[0, :][None, :] if bin_rows else None
+
     def quad_body(q, _):
-        t0 = q * quad
-        x = xcoord_ref[q, :][None, :]  # (1, lanes)
+        x = x_row if bin_rows else xcoord_ref[q, :][None, :]  # (1, lanes)
         y = ycoord_ref[q, :][None, :]
 
         # (An MXU formulation — one block-diagonal dot evaluating w0/w1/q for
@@ -286,15 +373,19 @@ def _raster_kernel_fast(
         # catastrophic cancellation, so lower precision is unusable. VPU fma
         # it is.)
         def process_range(rng, zbuf):
-            rs, re = rng
-            aligned_rs = (rs // 8) * 8  # sublane tiling is 8
+            aligned_rs, n_chunks = rng
 
             def chunk_fast(i, zbuf):
-                off = pl.multiple_of(aligned_rs + i * CHUNK, 8)
-                f = fdata_ref[0, pl.ds(off, CHUNK), :]  # (CHUNK, FREC_F)
+                off = pl.multiple_of(aligned_rs + i * chunk, 8)
+                f = fdata_ref[0, pl.ds(off, chunk), :]  # (chunk, FREC_F)
 
                 def col(k):
                     return f[:, k][:, None]  # (CHUNK, 1), broadcasts over lanes
+
+                if stub:  # diagnostic: identical loops/reads, compute removed
+                    return jnp.minimum(
+                        zbuf, jnp.min(col(0) + x, axis=0, keepdims=True)
+                    )
 
                 w0 = col(0) * x + col(1) * y + col(2)
                 w1 = col(3) * x + col(4) * y + col(5)
@@ -308,26 +399,31 @@ def _raster_kernel_fast(
                 depth = jnp.where(cover, pl.reciprocal(qd, approx=True), 1000.0)
                 return jnp.minimum(zbuf, jnp.min(depth, axis=0, keepdims=True))
 
-            n_chunks = jnp.where(
-                re > rs, pl.cdiv(jnp.maximum(re - aligned_rs, 0), CHUNK), 0
-            )
             return jax.lax.fori_loop(0, n_chunks, chunk_fast, zbuf)
 
-        win_a, win_b, win_c = _window_ranges(
-            starts_ref, row, t0, tiles_x, num_tiles, quad
+        wins = _quad_ranges(
+            starts_ref, row, q, tiles_x, num_buckets, quad, chunk, bin_rows
         )
 
+        if bin_rows:
+            # Empty ranges have n_chunks == 0: the fori_loops fall through,
+            # and the single unconditional write stores the 1000 background.
+            zbuf = jnp.full((1, lanes), 1000.0, jnp.float32)
+            for w in wins:
+                zbuf = process_range(w, zbuf)
+            out_ref[0, q, :] = zbuf[0]
+            return 0
+
         out_ref[0, q, :] = jnp.full((lanes,), 1000.0, jnp.float32)
-        work = (
-            (win_a[1] > win_a[0]) | (win_b[1] > win_b[0]) | (win_c[1] > win_c[0])
+        work = functools.reduce(
+            lambda a, w: a | (w[1] > 0), wins, jnp.bool_(False)
         )
 
         @pl.when(work)
         def _():
             zbuf = jnp.full((1, lanes), 1000.0, jnp.float32)
-            zbuf = process_range(win_a, zbuf)
-            zbuf = process_range(win_b, zbuf)
-            zbuf = process_range(win_c, zbuf)
+            for w in wins:
+                zbuf = process_range(w, zbuf)
             out_ref[0, q, :] = zbuf[0]
 
         return 0
@@ -343,10 +439,13 @@ def _raster_kernel_exact(
     out_ref,
     *,
     num_tiles: int,
+    num_buckets: int,
     tiles_x: int,
     height: int,
     quad: int,
+    chunk: int,
     smem_blocks: bool,
+    bin_rows: bool,
 ):
     lanes = quad * TILE_S * TILE_S
     if smem_blocks:
@@ -354,19 +453,19 @@ def _raster_kernel_exact(
     else:
         row = pl.program_id(0)
 
+    x_row = xcoord_ref[0, :][None, :] if bin_rows else None
+
     def quad_body(q, _):
-        t0 = q * quad
-        x = xcoord_ref[q, :][None, :]
+        x = x_row if bin_rows else xcoord_ref[q, :][None, :]
         y = ycoord_ref[q, :][None, :]
 
         def process_range(rng, zbuf):
-            rs, re = rng
-            aligned_rs = (rs // 8) * 8
+            aligned_rs, n_chunks = rng
 
             def chunk_exact(i, zbuf):
                 """CUDA scanline-span semantics (the parity mode)."""
-                off = pl.multiple_of(aligned_rs + i * CHUNK, 8)
-                f = fdata_ref[0, pl.ds(off, CHUNK), :]  # (CHUNK, FREC_E)
+                off = pl.multiple_of(aligned_rs + i * chunk, 8)
+                f = fdata_ref[0, pl.ds(off, chunk), :]  # (chunk, FREC_E)
 
                 def col(k):
                     return f[:, k][:, None]
@@ -403,26 +502,29 @@ def _raster_kernel_exact(
                 depth = jnp.where(cover, depth, 1000.0)  # (CHUNK, lanes)
                 return jnp.minimum(zbuf, jnp.min(depth, axis=0, keepdims=True))
 
-            n_chunks = jnp.where(
-                re > rs, pl.cdiv(jnp.maximum(re - aligned_rs, 0), CHUNK), 0
-            )
             return jax.lax.fori_loop(0, n_chunks, chunk_exact, zbuf)
 
-        win_a, win_b, win_c = _window_ranges(
-            starts_ref, row, t0, tiles_x, num_tiles, quad
+        wins = _quad_ranges(
+            starts_ref, row, q, tiles_x, num_buckets, quad, chunk, bin_rows
         )
 
+        if bin_rows:
+            zbuf = jnp.full((1, lanes), 1000.0, jnp.float32)
+            for w in wins:
+                zbuf = process_range(w, zbuf)
+            out_ref[0, q, :] = zbuf[0]
+            return 0
+
         out_ref[0, q, :] = jnp.full((lanes,), 1000.0, jnp.float32)
-        work = (
-            (win_a[1] > win_a[0]) | (win_b[1] > win_b[0]) | (win_c[1] > win_c[0])
+        work = functools.reduce(
+            lambda a, w: a | (w[1] > 0), wins, jnp.bool_(False)
         )
 
         @pl.when(work)
         def _():
             zbuf = jnp.full((1, lanes), 1000.0, jnp.float32)
-            zbuf = process_range(win_a, zbuf)
-            zbuf = process_range(win_b, zbuf)
-            zbuf = process_range(win_c, zbuf)
+            for w in wins:
+                zbuf = process_range(w, zbuf)
             out_ref[0, q, :] = zbuf[0]
 
         return 0
@@ -434,7 +536,8 @@ def _raster_kernel_exact(
     jax.jit,
     static_argnames=(
         "width", "height", "tiles_x", "tiles_y", "interpret", "exact",
-        "valid_frac", "pool_clamp", "smem_block_starts",
+        "valid_frac", "pool_clamp", "smem_block_starts", "bilinear_grid",
+        "_diag_stub",
     ),
 )
 def rasterize_depth_binned(
@@ -450,6 +553,8 @@ def rasterize_depth_binned(
     valid_frac: float = 1.0,
     pool_clamp: float | None = None,
     smem_block_starts: bool | None = None,
+    bilinear_grid: tuple[int, int] | None = None,
+    _diag_stub: bool = False,
 ) -> jnp.ndarray:
     """Tile-binned Pallas rasterization at integer sample positions.
 
@@ -461,6 +566,10 @@ def rasterize_depth_binned(
     nondump face count (see :func:`nondump_counts`) never exceeds the bound;
     faces beyond it would silently vanish. 1.0 = no truncation.
 
+    bilinear_grid: when (out_size, scale) is given, sample_x/sample_y are
+    promised to be ``bilinear_sample_positions(out_size, scale)`` and binning
+    uses closed-form integer index math instead of searchsorted reductions.
+
     pool_clamp: when set, clamp depths to this value and 2x2-mean-pool,
     returning (B, Sy/2, Sx/2) — the fused production postprocess (the
     reference clamps to 100 mm then bilinear-downsamples, mesh/render.py:
@@ -469,17 +578,27 @@ def rasterize_depth_binned(
     batch, num_faces = face_vertices.shape[:2]
     assert sample_x.shape[0] == tiles_x * TILE_S
     assert sample_y.shape[0] == tiles_y * TILE_S
+    num_tiles = tiles_x * tiles_y
+
+    # Full-tile-row quads only ever consume row-pair face windows, so bin at
+    # tile-ROW granularity when the quad spans a full row (smaller histogram,
+    # ONE contiguous window, near-empty overflow — _bin_faces docstring).
+    quad = QUAD_EXACT if exact else QUAD_FAST
+    chunk = CHUNK_EXACT if exact else CHUNK
+    assert tiles_x % quad == 0
+    bin_rows = quad == tiles_x
 
     p, _, valid = face_setup_fast(face_vertices)
-    keys, num_tiles = _bin_faces(
-        p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height
+    keys, num_buckets = _bin_faces(
+        p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height,
+        rows=bin_rows, bilinear_grid=bilinear_grid,
     )
-    dump = num_tiles + 1
+    dump = num_buckets + 1
 
     # Per-bucket range starts: histogram prefix sums of the small-domain keys
     # (searchsorted's while-loop lowering is slow on TPU).
     counts = jnp.sum(
-        keys[:, :, None] == jnp.arange(num_tiles + 2, dtype=jnp.int32),
+        keys[:, :, None] == jnp.arange(num_buckets + 2, dtype=jnp.int32),
         axis=1,
         dtype=jnp.int32,
     )
@@ -489,7 +608,35 @@ def rasterize_depth_binned(
             jnp.cumsum(counts[:, :-1], axis=-1, dtype=jnp.int32),
         ],
         axis=-1,
-    )  # (B, NT+2)
+    )  # (B, NB+2)
+
+    if bin_rows:
+        # Precompute each quad's chunk-loop ranges (aligned start + count)
+        # here, vectorized, instead of twice per quad per kernel program —
+        # the kernel then does four SMEM reads and no scalar arithmetic
+        # (see _quad_ranges). Quad q == tile row r; its one contiguous
+        # face window is [starts[max(r-1,0)], starts[r+1]), plus overflow.
+        def pre(lo, hi):
+            aligned = (lo // 8) * 8  # sublane tiling is 8
+            n = jnp.where(hi > lo, (hi - aligned + chunk - 1) // chunk, 0)
+            return aligned, n
+
+        a_m, n_m = pre(
+            jnp.concatenate([starts[:, :1], starts[:, : tiles_y - 1]], axis=1),
+            starts[:, 1 : tiles_y + 1],
+        )
+        a_o, n_o = pre(
+            starts[:, num_buckets, None], starts[:, num_buckets + 1, None]
+        )
+        starts = jnp.stack(
+            [
+                a_m,
+                n_m,
+                jnp.broadcast_to(a_o, a_m.shape),
+                jnp.broadcast_to(n_o, n_m.shape),
+            ],
+            axis=-1,
+        ).reshape(batch, tiles_y * 4)
 
     # The 9 vertex-coordinate columns ride the sort as payload operands (a
     # post-sort row gather was ~10 ns/row, the single largest pre-pass cost).
@@ -506,14 +653,14 @@ def rasterize_depth_binned(
     )
 
     if valid_frac < 1.0:
-        keep = min(num_faces, -(-int(num_faces * valid_frac) // CHUNK) * CHUNK)
+        keep = min(num_faces, -(-int(num_faces * valid_frac) // chunk) * chunk)
     else:
         keep = num_faces
-    # Chunk overreads may run up to CHUNK-1 rows past the last window end
+    # Chunk overreads may run up to chunk-1 rows past the last window end
     # (plus the down-alignment), so the buffer needs one extra chunk of inert
     # rows. When the mesh has that many faces to spare, slice them instead of
     # padding: rows past the nondump count are dump rows, already zeroed.
-    target = keep + (-keep) % CHUNK + CHUNK
+    target = keep + (-keep) % chunk + chunk
     take = min(target, num_faces)
     sc = [op[:, :take] for op in sorted_ops[1:]]
     px, py, pz = sc[0:3], sc[3:6], sc[6:9]
@@ -524,31 +671,43 @@ def rasterize_depth_binned(
     if target > num_faces:
         fdata = jnp.pad(fdata, ((0, 0), (0, target - num_faces), (0, 0)))
 
-    # Per-quad sample coordinate tables (NT/quad, quad*64): quads are `quad`
-    # consecutive row-major tiles, so the quad rows are just a reshape of the
-    # per-tile (NT, 64) table.
-    quad = QUAD_EXACT if exact else QUAD_FAST
-    assert tiles_x % quad == 0
+    # Per-quad sample coordinate tables (NT/quad, quad*64). The kernel's
+    # coverage/depth math is lane-order-agnostic (driven entirely by these
+    # tables), so full-row quads order lanes CANVAS ROW-MAJOR (sy, tx, sx):
+    # the kernel output is then the canvas itself — the former tile->canvas
+    # transpose (~1 ms/call at B=512) becomes a free reshape. Tile-granular
+    # quads keep the tile-major order (tx, sy, sx).
     samples_per_tile = TILE_S * TILE_S
-    shape4 = (tiles_y, tiles_x, TILE_S, TILE_S)
     num_quads = num_tiles // quad
-    xcoords = jnp.broadcast_to(
-        sample_x.reshape(1, tiles_x, 1, TILE_S), shape4
-    ).reshape(num_quads, quad * samples_per_tile)
-    ycoords = jnp.broadcast_to(
-        sample_y.reshape(tiles_y, 1, TILE_S, 1), shape4
-    ).reshape(num_quads, quad * samples_per_tile)
+    lanes = quad * samples_per_tile
+    if bin_rows:
+        # The x pattern repeats every row: ship ONE (1, lanes) row, read once.
+        width_s = tiles_x * TILE_S
+        xcoords = jnp.broadcast_to(
+            sample_x.reshape(1, 1, width_s), (1, TILE_S, width_s)
+        ).reshape(1, lanes)
+        ycoords = jnp.broadcast_to(
+            sample_y.reshape(tiles_y, TILE_S, 1), (tiles_y, TILE_S, width_s)
+        ).reshape(num_quads, lanes)
+    else:
+        shape4 = (tiles_y, tiles_x, TILE_S, TILE_S)
+        xcoords = jnp.broadcast_to(
+            sample_x.reshape(1, tiles_x, 1, TILE_S), shape4
+        ).reshape(num_quads, lanes)
+        ycoords = jnp.broadcast_to(
+            sample_y.reshape(tiles_y, 1, TILE_S, 1), shape4
+        ).reshape(num_quads, lanes)
 
-    # Bucket offsets: scalar-prefetch the whole (B, NT+2) array while it
-    # fits the 1 MB SMEM budget (slightly faster); above that (B=1024+, or
-    # fine tiles) stream 8-image SMEM blocks instead.
-    smem_blocks = batch * (num_tiles + 2) * 4 > 512 * 1024
+    # Bucket offsets / quad table: scalar-prefetch the whole (B, .) array
+    # while it fits the 1 MB SMEM budget (slightly faster); above that (huge
+    # batches, or fine tile-granular bins) stream 8-image SMEM blocks instead.
+    smem_blocks = batch * starts.shape[1] * 4 > 512 * 1024
     if smem_block_starts is not None:  # test override
         smem_blocks = smem_block_starts
     if smem_blocks:
         starts_in = jnp.pad(
             starts,
-            ((0, (-batch) % 8), (0, (-(num_tiles + 2)) % 128)),
+            ((0, (-batch) % 8), (0, (-starts.shape[1]) % 128)),
         )
         starts_spec = pl.BlockSpec(
             (8, starts_in.shape[1]),
@@ -565,7 +724,7 @@ def rasterize_depth_binned(
         grid=(batch,),
         in_specs=([starts_spec] if starts_spec is not None else []) + [
             pl.BlockSpec(
-                (num_quads, quad * samples_per_tile),
+                xcoords.shape,
                 lambda b, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -590,18 +749,25 @@ def rasterize_depth_binned(
         kernel = functools.partial(
             _raster_kernel_exact,
             num_tiles=num_tiles,
+            num_buckets=num_buckets,
             tiles_x=tiles_x,
             height=height,
             quad=quad,
+            chunk=chunk,
             smem_blocks=smem_blocks,
+            bin_rows=bin_rows,
         )
     else:
         kernel = functools.partial(
             _raster_kernel_fast,
             num_tiles=num_tiles,
+            num_buckets=num_buckets,
             tiles_x=tiles_x,
             quad=quad,
+            chunk=chunk,
             smem_blocks=smem_blocks,
+            bin_rows=bin_rows,
+            stub=_diag_stub,
         )
     tile_depths = pl.pallas_call(
         kernel,
@@ -617,6 +783,15 @@ def rasterize_depth_binned(
         fdata,
     )
 
+    h_s, w_s = tiles_y * TILE_S, tiles_x * TILE_S
+    if bin_rows:
+        # Canvas-row-major lanes: the kernel output IS the canvas.
+        out = tile_depths.reshape(batch, h_s, w_s)
+        if pool_clamp is not None:
+            t = jnp.minimum(out, pool_clamp)
+            return t.reshape(batch, h_s // 2, 2, w_s // 2, 2).mean(axis=(2, 4))
+        return out
+
     # (B, NQ, QUAD*64) -> tile grid; tile t covers rows ty*8..+8, cols tx*8..+8.
     out = tile_depths.reshape(batch, tiles_y, tiles_x, TILE_S, TILE_S)
     if pool_clamp is not None:
@@ -626,9 +801,5 @@ def rasterize_depth_binned(
         t = t.reshape(
             batch, tiles_y, tiles_x, TILE_S // 2, 2, TILE_S // 2, 2
         ).mean(axis=(4, 6))
-        return t.transpose(0, 1, 3, 2, 4).reshape(
-            batch, tiles_y * TILE_S // 2, tiles_x * TILE_S // 2
-        )
-    return out.transpose(0, 1, 3, 2, 4).reshape(
-        batch, tiles_y * TILE_S, tiles_x * TILE_S
-    )
+        return t.transpose(0, 1, 3, 2, 4).reshape(batch, h_s // 2, w_s // 2)
+    return out.transpose(0, 1, 3, 2, 4).reshape(batch, h_s, w_s)

@@ -126,6 +126,35 @@ def test_truncation_margin_vs_sampler_poses(hand_model):
     assert frac < 0.55, frac
 
 
+def test_closed_form_grid_matches_searchsorted():
+    """bilinear_grid's integer index math == searchsorted on every integer
+    query the binner can produce (ceil/trunc of bbox corners)."""
+    from spherehand_tpu.render.raster_pallas import _paired_grid_searchsorted
+
+    grid = jnp.asarray(bilinear_sample_positions(64, 10))
+    v = jnp.arange(-1200, 1900).astype(jnp.float32)
+    for side in ("left", "right"):
+        ref = jnp.searchsorted(grid, v, side=side, method="compare_all")
+        ours = _paired_grid_searchsorted(v, side, 64, 10)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(ours))
+
+
+def test_bilinear_grid_flag_changes_nothing(hand_model):
+    """The closed-form binning path renders identically to searchsorted."""
+    fv = _hand_faces(hand_model, jax.random.key(61), 2)
+    samples = jnp.asarray(bilinear_sample_positions(64, 10))
+    base = np.asarray(
+        rasterize_depth_binned(fv, samples, samples, interpret=True,
+                               exact=False, pool_clamp=100.0)
+    )
+    closed = np.asarray(
+        rasterize_depth_binned(fv, samples, samples, interpret=True,
+                               exact=False, pool_clamp=100.0,
+                               bilinear_grid=(64, 10))
+    )
+    np.testing.assert_array_equal(base, closed)
+
+
 def test_tpu_compiled_parity_artifact():
     """On-chip Mosaic-compiled kernel vs the XLA oracle (captured artifact).
 
