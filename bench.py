@@ -65,6 +65,13 @@ def main() -> None:
     fast_fps = measure(exact=False)
     exact_fps = measure(exact=True)
 
+    # Secondary metric: the full self-supervised combined training step
+    # (48 synthetic + 25 real x 3 views, 9-term loss, fwd+bwd+Adam, one
+    # jitted program — reference logs imply single-digit steps/sec on GPU).
+    from tools.profile_train import measure_combined_steps_per_sec
+
+    train_sps = measure_combined_steps_per_sec()
+
     print(
         json.dumps(
             {
@@ -73,6 +80,7 @@ def main() -> None:
                 "unit": "frames/sec",
                 "vs_baseline": round(float(fast_fps) / TARGET_FPS, 4),
                 "exact_fps": round(float(exact_fps), 2),
+                "train_combined_steps_per_sec": round(float(train_sps), 2),
                 "batch": BATCH,
             }
         )

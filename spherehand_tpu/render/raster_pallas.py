@@ -701,7 +701,9 @@ def rasterize_depth_binned(
     # Bucket offsets / quad table: scalar-prefetch the whole (B, .) array
     # while it fits the 1 MB SMEM budget (slightly faster); above that (huge
     # batches, or fine tile-granular bins) stream 8-image SMEM blocks instead.
-    smem_blocks = batch * starts.shape[1] * 4 > 512 * 1024
+    # (threshold leaves headroom: the prefetched array appears to be
+    # double-buffered against the 1 MB SMEM budget — 512 KB exactly OOMs)
+    smem_blocks = batch * starts.shape[1] * 4 > 300 * 1024
     if smem_block_starts is not None:  # test override
         smem_blocks = smem_block_starts
     if smem_blocks:

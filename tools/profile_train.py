@@ -30,6 +30,38 @@ from spherehand_tpu.train.config import EngineConfig
 from spherehand_tpu.train.steps import RealBatch, build_steps
 
 
+def _fake_real_batch(real_batch: int) -> RealBatch:
+    rng = np.random.RandomState(0)
+    dms = np.full((real_batch, 3, 64, 64), 100.0, np.float32)
+    dms[:, :, 20:44, 20:44] = rng.uniform(20, 60, (real_batch, 3, 24, 24))
+    return RealBatch(
+        dms=jnp.asarray(dms),
+        gt_joints=jnp.asarray(rng.uniform(-80, 80, (real_batch, 3, 36, 3)).astype(np.float32)),
+        poses=jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (real_batch, 3, 1, 1))),
+        inv_poses=jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (real_batch, 3, 1, 1))),
+    )
+
+
+def measure_combined_steps_per_sec(iters: int = 20) -> float:
+    """Steps/sec of the full combined self-supervised step at the reference
+    batch geometry (48 synt + 25 real x 3 views) — bench.py's second metric."""
+    cfg = EngineConfig(synt_batch=48, real_batch=25, num_stacks=1)
+    steps = build_steps(cfg, load_hand_model())
+    state = steps.init_state(jax.random.key(0))
+    batch = _fake_real_batch(25)
+    lr = jnp.asarray(1e-3)
+    combined = jax.jit(steps.combined_step, donate_argnums=0)
+    state, m, _ = combined(state, jax.random.key(100), lr, batch, jnp.asarray(True))
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m, _ = combined(
+            state, jax.random.key(i + 101), lr, batch, jnp.asarray(True)
+        )
+    jax.block_until_ready(m["loss"])
+    return iters / (time.perf_counter() - t0)
+
+
 def main():
     synt_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     real_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 25
@@ -42,15 +74,7 @@ def main():
     state = steps.init_state(jax.random.key(0))
     print(f"device: {jax.devices()[0]}, synt={synt_batch}, real={real_batch}x3, bf16={bf16}")
 
-    rng = np.random.RandomState(0)
-    dms = np.full((real_batch, 3, 64, 64), 100.0, np.float32)
-    dms[:, :, 20:44, 20:44] = rng.uniform(20, 60, (real_batch, 3, 24, 24))
-    batch = RealBatch(
-        dms=jnp.asarray(dms),
-        gt_joints=jnp.asarray(rng.uniform(-80, 80, (real_batch, 3, 36, 3)).astype(np.float32)),
-        poses=jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (real_batch, 3, 1, 1))),
-        inv_poses=jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (real_batch, 3, 1, 1))),
-    )
+    batch = _fake_real_batch(real_batch)
     lr = jnp.asarray(1e-3)
 
     synt_step = jax.jit(steps.synt_step, donate_argnums=0)
