@@ -85,7 +85,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 FREC_F = 9   # fields per fast-mode face record
 FREC_E = 24  # fields per exact-mode face record
-CHUNK = 64   # faces per compute chunk (sublane dimension)
+CHUNK = 32   # faces per compute chunk (sublane dimension)
 TILE_S = 8   # tile edge in samples -> 64 samples/tile
 QUAD_FAST = 16   # tiles per loop iteration = full tile row (1024 lanes)
 QUAD_EXACT = 16  # full-row quads for exact too, but with...
@@ -241,7 +241,7 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height,
 
     Returns (keys (B, F), num_buckets); overflow = num_buckets, dump = +1.
     """
-    num_buckets = tiles_y if rows else tiles_x * tiles_y
+    num_buckets = 2 * tiles_y if rows else tiles_x * tiles_y
     overflow, dump = num_buckets, num_buckets + 1
 
     px = p[..., 0]
@@ -273,15 +273,22 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height,
     ty_lo = jnp.clip(j_lo // TILE_S, 0, tiles_y - 1)
     ty_hi = jnp.clip(j_hi // TILE_S, 0, tiles_y - 1)
     if rows:
+        # Two sub-buckets per row: (r, only) then (r, spans-into-r+1). Row
+        # r's one contiguous window [(r-1, span), (r, only), (r, span)] then
+        # touches each face 1 + spans times instead of 2 — most faces span a
+        # single tile row, so ~35% of the kernel's face-window tests vanish.
         big = (ty_hi - ty_lo) > 1
-        low_corner = ty_lo
+        spans = (ty_hi > ty_lo).astype(ty_lo.dtype)
+        low_corner = 2 * ty_lo + spans
+        keys = jnp.where(empty, dump, jnp.where(big, overflow, low_corner))
+        return keys.astype(jnp.int32), num_buckets, (ty_lo, ty_hi)
     else:
         tx_lo = jnp.clip(i_lo // TILE_S, 0, tiles_x - 1)
         tx_hi = jnp.clip(i_hi // TILE_S, 0, tiles_x - 1)
         big = ((tx_hi - tx_lo) > 1) | ((ty_hi - ty_lo) > 1)
         low_corner = ty_lo * tiles_x + tx_lo
     keys = jnp.where(empty, dump, jnp.where(big, overflow, low_corner))
-    return keys.astype(jnp.int32), num_buckets
+    return keys.astype(jnp.int32), num_buckets, (ty_lo, ty_hi)
 
 
 def nondump_counts(face_vertices, sample_x, sample_y, tiles_x=16, tiles_y=16,
@@ -289,7 +296,7 @@ def nondump_counts(face_vertices, sample_x, sample_y, tiles_x=16, tiles_y=16,
     """Per-image count of faces the kernel windows can address (all faces not
     in the dump bucket). Used to validate a ``valid_frac`` truncation margin."""
     p, _, valid = face_setup_fast(face_vertices)
-    keys, num_tiles = _bin_faces(
+    keys, num_tiles, _ = _bin_faces(
         p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height
     )
     return jnp.sum(keys != num_tiles + 1, axis=-1)
@@ -589,7 +596,7 @@ def rasterize_depth_binned(
     bin_rows = quad == tiles_x
 
     p, _, valid = face_setup_fast(face_vertices)
-    keys, num_buckets = _bin_faces(
+    keys, num_buckets, (ty_lo, ty_hi) = _bin_faces(
         p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height,
         rows=bin_rows, bilinear_grid=bilinear_grid,
     )
@@ -614,26 +621,37 @@ def rasterize_depth_binned(
         # Precompute each quad's chunk-loop ranges (aligned start + count)
         # here, vectorized, instead of twice per quad per kernel program —
         # the kernel then does four SMEM reads and no scalar arithmetic
-        # (see _quad_ranges). Quad q == tile row r; its one contiguous
-        # face window is [starts[max(r-1,0)], starts[r+1]), plus overflow.
+        # (see _quad_ranges). Quad q == tile row r; its one contiguous face
+        # window is [starts[(r-1, span)], starts[(r+1, only)]) over the
+        # (only, span) sub-bucket layout (_bin_faces), plus overflow.
         def pre(lo, hi):
             aligned = (lo // 8) * 8  # sublane tiling is 8
             n = jnp.where(hi > lo, (hi - aligned + chunk - 1) // chunk, 0)
             return aligned, n
 
         a_m, n_m = pre(
-            jnp.concatenate([starts[:, :1], starts[:, : tiles_y - 1]], axis=1),
-            starts[:, 1 : tiles_y + 1],
+            jnp.concatenate(
+                [starts[:, :1], starts[:, 1 : 2 * tiles_y - 2 : 2]], axis=1
+            ),
+            starts[:, 2 : 2 * tiles_y + 1 : 2],
         )
         a_o, n_o = pre(
             starts[:, num_buckets, None], starts[:, num_buckets + 1, None]
         )
+        # Overflow holds ~0.5% of faces, but each quad scans it: gate its
+        # chunk count to the rows the overflow faces actually span (their
+        # union bounds) — measured ~15% of all chunk iterations reclaimed.
+        ovf = keys == num_buckets
+        ov_lo = jnp.min(jnp.where(ovf, ty_lo, tiles_y), axis=1)  # (B,)
+        ov_hi = jnp.max(jnp.where(ovf, ty_hi, -1), axis=1)
+        r = jnp.arange(tiles_y, dtype=ty_lo.dtype)[None, :]
+        ov_rows = (r >= ov_lo[:, None]) & (r <= ov_hi[:, None])
         starts = jnp.stack(
             [
                 a_m,
                 n_m,
                 jnp.broadcast_to(a_o, a_m.shape),
-                jnp.broadcast_to(n_o, n_m.shape),
+                jnp.where(ov_rows, n_o, 0),
             ],
             axis=-1,
         ).reshape(batch, tiles_y * 4)
