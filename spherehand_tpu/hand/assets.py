@@ -73,15 +73,23 @@ def load_hand_model(
     path: str | None = None,
     right_hand: bool = True,
     dtype: jnp.dtype = jnp.float32,
+    lite: bool = False,
 ) -> HandModel:
     """Load ``hand_model.npz`` into a :class:`HandModel` pytree.
 
     The triangle index columns 0/1 are swapped for the right hand so winding
     stays front-facing after the LBS x-negation, matching the reference
     (mesh/render.py:298-300 and mesh/pointTransformation.py:44-45).
+
+    lite=True loads ``hand_model_lite.npz`` (tools/make_lite_mesh.py): the
+    half-edge-collapsed mesh restricted to face-referenced vertices — same
+    bones/keypoints/spheres, ~half the triangles and ~12x fewer LBS columns.
+    Depth renders are validated sub-output-pixel vs the full mesh; use it for
+    synthetic training-data generation, not for CUDA-parity comparisons.
     """
     if path is None:
-        path = os.path.join(DEFAULT_ASSET_DIR, "hand_model.npz")
+        name = "hand_model_lite.npz" if lite else "hand_model.npz"
+        path = os.path.join(DEFAULT_ASSET_DIR, name)
     raw = np.load(path, allow_pickle=False)
     vertices = raw["vertices"].astype(np.float32)
     faces = raw["faces"].astype(np.int32)

@@ -241,7 +241,9 @@ def render_depth_64(
         # on-screen) faces; for the closed hand mesh that is ~half the faces
         # (measured max 48.8% over 1,024,000 sampler poses incl. RandScale +
         # focal jitter via raster_pallas.nondump_counts — bound 2112 vs max
-        # 1649, a 28% margin; see tests/test_raster_pallas.py).
+        # 1649, a 28% margin; see tests/test_raster_pallas.py). The lite
+        # mesh measures max 917/1700 = 0.539 over 131k poses (bound 1056,
+        # a 15% margin) — the same 0.62 covers both models.
         return rasterize_depth_binned(
             face_verts, samples, samples,
             width=_C.raster_size, height=_C.raster_size,

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_data_parallel", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv compute (params and losses stay f32)")
+    p.add_argument("--mesh", default="full", choices=["full", "lite"],
+                   help="hand mesh for synthetic renders (lite = decimated, "
+                        "faster raster, sub-output-pixel depth differences)")
     return p
 
 
@@ -74,6 +77,7 @@ def config_from_args(args: argparse.Namespace) -> EngineConfig:
         seed=args.seed,
         data_parallel=not args.no_data_parallel,
         bf16=args.bf16,
+        mesh=args.mesh,
     )
 
 

@@ -50,6 +50,9 @@ class EngineConfig:
     weight_decay: float = 1e-5
     data_parallel: bool = True  # shard batches over all local devices
     bf16: bool = False  # bfloat16 conv compute (params/losses stay f32)
+    mesh: str = "full"  # "full" | "lite": hand mesh for synthetic renders
+    # (tools/make_lite_mesh.py; same bones/keypoints/spheres, ~half the
+    # triangles — faster raster, sub-output-pixel depth differences)
 
     @property
     def loss_config(self) -> LossConfig:

@@ -71,7 +71,10 @@ def _rand_name(n: int = 6) -> str:
 class Engine:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
-        self.hand = load_hand_model()
+        # "lite" swaps in the decimated mesh (identical bones/keypoints/
+        # spheres, so every loss and metric is unaffected; only the synthetic
+        # depth raster sees the smaller triangle set).
+        self.hand = load_hand_model(lite=cfg.mesh == "lite")
 
         # Data-parallel mesh: batches shard over the leading axis, state is
         # replicated; on one device this degenerates to plain jit. Batch

@@ -258,6 +258,9 @@ def main() -> None:
     ap.add_argument("--adapt", choices=["combined", "real"], default="combined",
                     help="combined = reference mixed loop; real = pure "
                          "self-supervision, no synthetic co-training")
+    ap.add_argument("--artifact", default=None,
+                    help="result JSON path (default: the tests/goldens file; "
+                         "sweeps should point elsewhere)")
     ap.add_argument("--no_mv", action="store_true",
                     help="ablation: disable the multi-view self-supervision "
                          "terms (projection + consistency), keeping "
@@ -339,7 +342,7 @@ def main() -> None:
         "after_raw_mm": round(float(after["avg_joint_error_raw"]), 3),
         "backend": str(jax.devices()[0]),
     }
-    art = os.path.join(
+    art = args.artifact or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "tests", "goldens",
         "selfsup_ablation.json" if args.no_mv else "selfsup_demo.json",
     )
