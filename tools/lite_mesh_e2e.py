@@ -1,0 +1,95 @@
+"""End-to-end quality gate for the lite mesh: train on lite, eval on full.
+
+The lite mesh's purpose is synthetic training-data generation, so the
+decisive quality metric is not per-pixel render fidelity but whether an
+estimator trained on lite renders matches one trained on full renders when
+BOTH are evaluated on full-mesh held-out renders (the "real" distribution
+stand-in). Run both arms and compare.
+
+Usage: python tools/lite_mesh_e2e.py [steps=10000] [arms=lite,full]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from spherehand_tpu.data.sampler import sample_poses
+from spherehand_tpu.data.synthesizer import synthesize
+from spherehand_tpu.hand.assets import load_hand_model
+from spherehand_tpu.models.estimator import forward, make_network
+from spherehand_tpu.train.config import EngineConfig
+from spherehand_tpu.train.steps import build_steps
+
+
+def train_arm(mesh: str, steps_n: int):
+    """Train `steps_n` synthetic steps on the given mesh; return params."""
+    cfg = EngineConfig(num_stacks=1, mesh=mesh)
+    hand = load_hand_model(lite=mesh == "lite")
+    steps = build_steps(cfg, hand)
+    state = steps.init_state(jax.random.key(0))
+    step = jax.jit(steps.synt_step, donate_argnums=0)
+    t0 = time.perf_counter()
+    for i in range(steps_n):
+        # StepLR thirds like the full pretraining schedule, scaled down.
+        lr = jnp.asarray(1e-3 if i < steps_n // 3 else
+                         1e-4 if i < 2 * steps_n // 3 else 1e-5)
+        state, metrics = step(state, jax.random.key(i + 1), lr)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    print(f"[{mesh}] {steps_n} steps in {dt:.0f}s ({steps_n / dt:.1f} steps/s)",
+          flush=True)
+    return state.params, dt
+
+
+def eval_on_full(params, num_samples: int = 2048, batch: int = 128) -> float:
+    """Mean joint error (mm) on held-out FULL-mesh noisy renders."""
+    hand = load_hand_model()  # always the full mesh
+    network = make_network(1)
+
+    @jax.jit
+    def eval_batch(params, key):
+        poses = sample_poses(key, batch)
+        synt = synthesize(hand, jax.random.fold_in(key, 1), poses, add_noise=True)
+        out = forward(network, params, synt_dms=synt.dms)
+        return jnp.linalg.norm(out.synt_xyz[-1] - synt.xyz, axis=-1)
+
+    errs = []
+    for i in range(num_samples // batch):
+        errs.append(np.asarray(eval_batch(params, jax.random.key(10_000 + i))))
+    return float(np.concatenate(errs).mean())
+
+
+def main() -> None:
+    steps_n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    arms = (sys.argv[2] if len(sys.argv) > 2 else "lite,full").split(",")
+    result = {"steps": steps_n}
+    for mesh in arms:
+        params, dt = train_arm(mesh, steps_n)
+        err = eval_on_full(params, num_samples=2048)
+        print(f"[{mesh}] held-out joint error on FULL-mesh renders: {err:.2f} mm",
+              flush=True)
+        result[mesh] = {"train_secs": round(dt, 1), "heldout_mm": round(err, 3)}
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "tests", "goldens", "lite_mesh_e2e.json")
+    with open(art, "w") as f:
+        json.dump(result, f, indent=1)
+    print("wrote", art)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,7 +5,7 @@ re-jitting is impractical; instead this traces the already-compiled
 ``render_depth_64`` program (same shapes as bench.py) and the trace breaks
 the time into fusions / sort / gather / Pallas kernel.
 
-Usage: python tools/trace_render.py [batch] [outdir] [exact]
+Usage: python tools/trace_render.py [batch] [outdir] [exact] [lite]
 """
 from __future__ import annotations
 
@@ -35,7 +35,8 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/jaxtrace"
     exact = len(sys.argv) > 3 and sys.argv[3] not in ("0", "false", "fast")
-    model = load_hand_model()
+    lite = len(sys.argv) > 4 and sys.argv[4] == "lite"
+    model = load_hand_model(lite=lite)
 
     @jax.jit
     def render(key):
