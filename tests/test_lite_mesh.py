@@ -83,6 +83,39 @@ def test_loader_lite_flag():
     assert lite.faces.shape[1] == 3
 
 
+def test_e2e_artifact_lite_matches_full_training():
+    """The TPU-run end-to-end gate (tools/lite_mesh_e2e.py, 75k steps):
+    an estimator trained on lite renders must land within 0.5 mm of one
+    trained on full renders, both evaluated on full-mesh held-out renders."""
+    import json
+
+    with open(os.path.join(os.path.dirname(__file__), "goldens",
+                           "lite_mesh_e2e.json")) as f:
+        art = json.load(f)
+    assert art["steps"] >= 50_000
+    gap = art["lite"]["heldout_mm"] - art["full"]["heldout_mm"]
+    assert gap < 0.5, art
+    assert art["full"]["heldout_mm"] < 8.0, art  # reproduces the baseline
+
+
+def test_synt_step_trains_with_lite_mesh():
+    """The full synthetic train step (sampler -> lite raster -> hourglass ->
+    losses -> Adam) runs and is finite with --mesh lite."""
+    from spherehand_tpu.hand.assets import load_hand_model
+    from spherehand_tpu.train.config import EngineConfig
+    from spherehand_tpu.train.steps import build_steps
+
+    cfg = EngineConfig(synt_batch=2, real_batch=2, num_stacks=1, mesh="lite")
+    hand = load_hand_model(lite=True)
+    steps = build_steps(cfg, hand)
+    state = steps.init_state(jax.random.key(0))
+    state, metrics = jax.jit(steps.synt_step)(
+        state, jax.random.key(1), jnp.asarray(1e-3)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["synt_uv"]) > 0
+
+
 @pytest.mark.slow
 def test_render_fidelity_vs_full():
     """Lite renders match full renders away from occlusion boundaries.

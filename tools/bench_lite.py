@@ -1,9 +1,14 @@
-"""Render-throughput comparison: full vs lite hand mesh (one TPU chip).
+"""Render-throughput measurement: full vs lite hand mesh (one TPU chip).
 
 Same measurement as bench.py (sample -> FK -> LBS -> project -> rasterize ->
-2x2 mean, B=1024), run for both meshes and both raster modes. The lite mesh
+2x2 mean), run for both meshes and both raster modes. The lite mesh
 (tools/make_lite_mesh.py) halves the face count, which shrinks the
-comparator-bound sort and the kernel windows together.
+comparator-bound sort and the kernel windows together; its renders are
+validated end-to-end (tools/lite_mesh_e2e.py trains to within ~0.2 mm of
+full-mesh training at 75k steps).
+
+``measure_render_fps`` is shared with bench.py so both produce byte-identical
+XLA programs and hit the same persistent compilation cache.
 
 Usage: python tools/bench_lite.py [batch]
 """
@@ -25,41 +30,42 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from spherehand_tpu.data.sampler import sample_poses
-from spherehand_tpu.hand.assets import load_hand_model
-from spherehand_tpu.hand.kinematics import forward_kinematics
-from spherehand_tpu.render.raster import render_depth_64
+
+def measure_render_fps(model, batch: int, exact: bool, iters: int = 20) -> float:
+    """Frames/sec of the full synthesis render path on the default device."""
+    from spherehand_tpu.data.sampler import sample_poses
+    from spherehand_tpu.hand.kinematics import forward_kinematics
+    from spherehand_tpu.render.raster import render_depth_64
+
+    @functools.partial(jax.jit, static_argnames=("exact",))
+    def render(key, exact):
+        params = sample_poses(key, batch)
+        transforms = forward_kinematics(model, params)
+        rand_f = jax.random.uniform(
+            jax.random.fold_in(key, 1), (batch,), minval=0.9, maxval=1.1
+        )
+        return render_depth_64(model, transforms, rand_f, exact=exact)
+
+    out = render(jax.random.key(0), exact)
+    jax.block_until_ready(out)  # compile/warmup
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = render(jax.random.key(i + 1), exact)
+    jax.block_until_ready(out)
+    return batch * iters / (time.perf_counter() - t0)
 
 
 def main() -> None:
+    from spherehand_tpu.hand.assets import load_hand_model
+
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    iters = 20
     for lite in (False, True):
         model = load_hand_model(lite=lite)
-
-        @functools.partial(jax.jit, static_argnames=("exact",))
-        def render(key, exact, model=model):
-            params = sample_poses(key, batch)
-            transforms = forward_kinematics(model, params)
-            rand_f = jax.random.uniform(
-                jax.random.fold_in(key, 1), (batch,), minval=0.9, maxval=1.1
-            )
-            return render_depth_64(model, transforms, rand_f, exact=exact)
-
         for exact in (False, True):
-            t0 = time.perf_counter()
-            out = render(jax.random.key(0), exact)
-            jax.block_until_ready(out)
-            compile_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            for i in range(iters):
-                out = render(jax.random.key(i + 1), exact)
-            jax.block_until_ready(out)
-            fps = batch * iters / (time.perf_counter() - t0)
+            fps = measure_render_fps(model, batch, exact)
             name = "lite" if lite else "full"
             mode = "exact" if exact else "fast"
-            print(f"{name} {mode}: {fps:,.0f} fps  (compile {compile_s:.0f}s)",
-                  flush=True)
+            print(f"{name} {mode}: {fps:,.0f} fps", flush=True)
 
 
 if __name__ == "__main__":
