@@ -27,7 +27,7 @@ engine's combined loop closes it:
 4. Writes tests/goldens/selfsup_demo.json {before, after} asserted by
    tests/test_selfsup_artifact.py, and prints the PERF.md table row.
 
-Usage: python tools/selfsup_demo.py [--samples 4096] [--test 512] [--epochs 12]
+Usage: python tools/selfsup_demo.py [--samples 4096] [--test 512] [--epochs 30]
 """
 from __future__ import annotations
 
@@ -246,7 +246,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=4096)
     ap.add_argument("--test", type=int, default=512)
-    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--out", default="runs/selfsup_demo")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=3e-5,
