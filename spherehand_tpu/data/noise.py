@@ -38,16 +38,32 @@ def depth_pixel_noise(key: jax.Array, dms: jnp.ndarray) -> jnp.ndarray:
     """
     batch, height, width = dms.shape
     kx, ky, kz = jax.random.split(key, 3)
-    u_grid = jnp.arange(width, dtype=jnp.int32)[None, None, :]
-    v_grid = jnp.arange(height, dtype=jnp.int32)[None, :, None]
     # .long() on a float tensor truncates toward zero.
     dx = jnp.trunc(jax.random.normal(kx, dms.shape) * 0.5 + 0.5).astype(jnp.int32)
     dy = jnp.trunc(jax.random.normal(ky, dms.shape) * 0.5 + 0.5).astype(jnp.int32)
-    src_x = jnp.clip(u_grid + dx, 0, width - 1)
-    src_y = jnp.clip(v_grid + dy, 0, height - 1)
-    shifted = jnp.take_along_axis(
-        dms.reshape(batch, -1), (src_y * width + src_x).reshape(batch, -1), axis=1
-    ).reshape(dms.shape)
+
+    # Bounded-shift select instead of a per-element gather: a (B*H*W)-row
+    # take_along_axis runs at ~10 ns/row on TPU (~2 ms/call in the train
+    # step); selecting among the 36 statically-shifted slices is fused VPU
+    # work. Offsets are trunc(N(0.5, 0.5)) so P(offset outside [-2, 3]) ~
+    # 3e-7 per axis — the clamp below deviates from the unbounded-offset
+    # semantics with probability ~1e-13 per pixel (the reference's own
+    # clip-to-image keeps everything in-range at the borders either way).
+    lo, hi = -2, 3
+    dxc = jnp.clip(dx, lo, hi)
+    dyc = jnp.clip(dy, lo, hi)
+    # edge padding replicates the border rows/cols = the reference's
+    # clip(src, 0, size-1) for every in-bound shift.
+    padded = jnp.pad(dms, ((0, 0), (-lo, hi), (-lo, hi)), mode="edge")
+    shifted = dms
+    for b in range(lo, hi + 1):
+        for a in range(lo, hi + 1):
+            sl = jax.lax.slice(
+                padded,
+                (0, b - lo, a - lo),
+                (batch, b - lo + height, a - lo + width),
+            )
+            shifted = jnp.where((dxc == a) & (dyc == b), sl, shifted)
     z_noise = jax.random.normal(kz, dms.shape) * 0.05
     return jnp.where(shifted < 1.0, shifted + z_noise, shifted)
 
@@ -114,9 +130,20 @@ def resize_crop(
 
     src_u, in_u = axis_index(u_scales, width)
     src_v, in_v = axis_index(v_scales, height)
-    gathered = dms[
-        jnp.arange(batch)[:, None, None], src_v[:, :, None], src_u[:, None, :]
-    ]
+    # The index map is separable (src_v depends on the output row only,
+    # src_u on the output column only), so the per-pixel gather — ~10 ns/
+    # element on TPU, ~3 ms/call in the train step — becomes two one-hot
+    # selection matmuls on the MXU. Every one-hot row has exactly one 1, so
+    # each output is a single product; HIGHEST keeps the f32 depth values
+    # un-rounded (default TPU matmuls are bf16 passes).
+    oh_v = (src_v[:, :, None]
+            == jnp.arange(height, dtype=jnp.int32)[None, None, :]).astype(dms.dtype)
+    oh_u = (src_u[:, :, None]
+            == jnp.arange(width, dtype=jnp.int32)[None, None, :]).astype(dms.dtype)
+    rows = jnp.einsum("bvh,bhw->bvw", oh_v, dms,
+                      precision=jax.lax.Precision.HIGHEST)
+    gathered = jnp.einsum("bvw,buw->bvu", rows, oh_u,
+                          precision=jax.lax.Precision.HIGHEST)
     inside = in_v[:, :, None] & in_u[:, None, :]
     identity = (u_scales >= 1.0)[:, None, None] & (v_scales >= 1.0)[:, None, None]
     return jnp.where(identity, dms, jnp.where(inside, gathered, 1.0))
