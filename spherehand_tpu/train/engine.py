@@ -68,6 +68,37 @@ def _rand_name(n: int = 6) -> str:
     return "".join(random.choice(string.ascii_letters + string.digits) for _ in range(n))
 
 
+def _fmt(avg: dict[str, float]) -> str:
+    return " ".join(f"{k}: {v:.4f}" for k, v in avg.items())
+
+
+def _prefetch(iterable, depth: int = 2):
+    """Background-thread prefetch: the loader's memmap gather + decode runs
+    while the previous step's device work is in flight."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for x in iterable:
+                q.put(x)
+            q.put(sentinel)
+        except BaseException as e:  # surface loader errors in the main thread
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        x = q.get()
+        if x is sentinel:
+            return
+        if isinstance(x, BaseException):
+            raise x
+        yield x
+
+
 class Engine:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
@@ -119,6 +150,8 @@ class Engine:
         self._jit_combined = jax.jit(self.steps.combined_step, donate_argnums=0)
         self._jit_real = jax.jit(self.steps.real_step, donate_argnums=0)
         self._jit_eval = jax.jit(self.steps.eval_step)
+        self._build_acc_steps()
+        self._metric_zero_cache: dict[str, Any] = {}
 
         self.base_key = jax.random.key(cfg.seed)
         self.state = jax.device_put(
@@ -153,6 +186,66 @@ class Engine:
         # Real datasets load lazily: synthetic-only runs need none.
         self._train_data = self._eval_data = None
 
+    # ----------------------------------------------------- accumulating jits
+    def _build_acc_steps(self) -> None:
+        """Jitted step wrappers with key derivation, the is_mv curriculum and
+        the metric running sums INSIDE the program.
+
+        The plain per-step host loop costs ~12 ms/step through a remote-
+        device tunnel: 2 eager ``fold_in`` dispatches for the step key plus
+        one eager add per metric for the running average. Folding them into
+        the step leaves ONE dispatch per step; the sums are fetched only at
+        the log cadence. Key derivation is bit-identical to the host path
+        (``fold_in(fold_in(base_key, epoch), it)``), so training runs are
+        unchanged step for step.
+        """
+        steps = self.steps
+        cfg = self.cfg
+
+        def _key(base_key, epoch_it):
+            return jax.random.fold_in(
+                jax.random.fold_in(base_key, epoch_it[0]), epoch_it[1]
+            )
+
+        def _add(sums, metrics):
+            return {k: sums[k] + v for k, v in metrics.items()}
+
+        def synt_acc(state, base_key, epoch_it, lr, sums):
+            state, metrics = steps.synt_step(state, _key(base_key, epoch_it), lr)
+            return state, metrics, _add(sums, metrics)
+
+        def combined_acc(state, base_key, epoch_it, lr, batch, sums):
+            is_mv = epoch_it[1] < cfg.mv_curriculum_iters  # engine.py:361
+            state, metrics, vis = steps.combined_step(
+                state, _key(base_key, epoch_it), lr, batch, is_mv
+            )
+            return state, metrics, vis, _add(sums, metrics)
+
+        def real_acc(state, base_key, epoch_it, lr, batch, sums):
+            state, metrics = steps.real_step(
+                state, _key(base_key, epoch_it), lr, batch
+            )
+            return state, metrics, _add(sums, metrics)
+
+        self._jit_synt_acc = jax.jit(synt_acc, donate_argnums=(0, 4))
+        self._jit_combined_acc = jax.jit(combined_acc, donate_argnums=(0, 5))
+        self._jit_real_acc = jax.jit(real_acc, donate_argnums=(0, 5))
+
+    def _metric_zeros(self, kind: str, eval_fn) -> dict:
+        """Zero-valued metric sums matching a step's metric tree (host-side
+        ``jax.eval_shape`` — no device work; cached per step kind)."""
+        if kind not in self._metric_zero_cache:
+            shapes = eval_fn()
+            self._metric_zero_cache[kind] = {
+                k: np.zeros(s.shape, s.dtype) for k, s in shapes.items()
+            }
+        return dict(self._metric_zero_cache[kind])
+
+    def _fetch_avg(self, sums: dict, count: int) -> dict[str, float]:
+        """Materialize the device-side running sums as per-step means."""
+        vals = jax.device_get(sums)
+        return {k: float(v) / count for k, v in vals.items()}
+
     # ------------------------------------------------------------------ data
     def _real_loader(self, train: bool, batch_size: int) -> NyuLoader:
         subset = "train" if train else "test"
@@ -182,19 +275,24 @@ class Engine:
             weights = np.zeros(b + pad, np.float32)
             weights[:b] = 1.0
 
-        def put(x):
-            if x is None:
-                return None
+        if jax.process_count() > 1:
             # Per-host input sharding: each process provides only its local
-            # rows on multi-host slices (single-host: equivalent device_put).
-            if hasattr(jax, "make_array_from_process_local_data"):
+            # rows on multi-host slices.
+            def put(x):
+                if x is None:
+                    return None
                 return jax.make_array_from_process_local_data(
                     self._batch_sharding, x
                 )
-            return jax.device_put(x, self._batch_sharding)
 
-        return RealBatch(
-            put(dms), put(joints), put(poses), put(inv_poses), put(weights)
+            return RealBatch(
+                put(dms), put(joints), put(poses), put(inv_poses), put(weights)
+            )
+        # Single host: ONE device_put over the whole pytree (per-leaf eager
+        # puts cost a dispatch round trip each through a remote-device tunnel).
+        return jax.device_put(
+            RealBatch(dms, joints, poses, inv_poses, weights),
+            self._batch_sharding,
         )
 
     # ------------------------------------------------------------- utilities
@@ -249,22 +347,28 @@ class Engine:
         """Synthetic-only pretraining epoch (engine.py:265-316)."""
         cfg = self.cfg
         lr = jnp.asarray(cfg.lr_at_epoch(epoch))
-        avg = RunningAverage()
+        sums = self._metric_zeros(
+            "synt",
+            lambda: jax.eval_shape(
+                self.steps.synt_step, self.state, self.base_key, lr
+            )[1],
+        )
         t0 = time.time()
         iters = cfg.synt_iters_per_epoch * cfg.num_stacks
         for it in range(iters):
-            self.state, metrics = self._jit_synt(
-                self.state, self._step_key(epoch, it), lr
+            self.state, metrics, sums = self._jit_synt_acc(
+                self.state, self.base_key,
+                np.asarray([epoch, it], np.int32), lr, sums,
             )
-            avg.append(metrics)
             if it % 100 == 0:
+                avg = self._fetch_avg(sums, it + 1)
                 dt = time.time() - t0
                 self._log(
-                    f"[{epoch}-{it}]: loss: {avg} lr: {float(lr):.2e} "
+                    f"[{epoch}-{it}]: loss: {_fmt(avg)} lr: {float(lr):.2e} "
                     f"time: {dt:.2f}s"
                 )
                 self._log_metrics(
-                    {"epoch": epoch, "it": it, "mode": "synt", **avg.to_dict()}
+                    {"epoch": epoch, "it": it, "mode": "synt", **avg}
                 )
                 t0 = time.time()
 
@@ -273,29 +377,38 @@ class Engine:
         cfg = self.cfg
         lr = jnp.asarray(cfg.lr_at_epoch(epoch))
         loader = self._real_loader(train=True, batch_size=cfg.real_batch)
-        avg = RunningAverage()
         timer = StepTimer(window=100)
+        sums = None
         t0 = time.time()
-        for it, raw in enumerate(loader):
+        for it, raw in enumerate(_prefetch(loader)):
             batch = self._put_batch(raw)
-            is_mv = jnp.asarray(it < cfg.mv_curriculum_iters)  # engine.py:361
-            self.state, metrics, vis = self._jit_combined(
-                self.state, self._step_key(epoch, it), lr, batch, is_mv
+            if sums is None:
+                sums = self._metric_zeros(
+                    "combined",
+                    lambda: jax.eval_shape(
+                        self.steps.combined_step, self.state, self.base_key,
+                        lr, batch, jnp.asarray(True),
+                    )[1],
+                )
+            self.state, metrics, vis, sums = self._jit_combined_acc(
+                self.state, self.base_key,
+                np.asarray([epoch, it], np.int32), lr, batch, sums,
             )
-            avg.append(metrics)
             timer.tick(metrics["loss"])  # blocks only at window edges
             if it % 400 == 0:
                 self._dump_train_images(epoch, it, vis)
             if it % 100 == 0:
+                avg = self._fetch_avg(sums, it + 1)
                 dt = time.time() - t0
                 self._log(
-                    f"[{epoch}-{it}]: metric+loss: {avg} lr: {float(lr):.2e} "
+                    f"[{epoch}-{it}]: metric+loss: {_fmt(avg)} "
+                    f"lr: {float(lr):.2e} "
                     f"steps/s: {timer.steps_per_sec:.2f} time: {dt:.2f}s"
                 )
                 self._log_metrics(
                     {
                         "epoch": epoch, "it": it, "mode": "both",
-                        "steps_per_sec": timer.steps_per_sec, **avg.to_dict(),
+                        "steps_per_sec": timer.steps_per_sec, **avg,
                     }
                 )
                 t0 = time.time()
@@ -305,22 +418,31 @@ class Engine:
         cfg = self.cfg
         lr = jnp.asarray(cfg.lr_at_epoch(epoch))
         loader = self._real_loader(train=True, batch_size=cfg.eval_batch)
-        avg = RunningAverage()
+        sums = None
         t0 = time.time()
-        for it, raw in enumerate(loader):
+        for it, raw in enumerate(_prefetch(loader)):
             batch = self._put_batch(raw)
-            self.state, metrics = self._jit_real(
-                self.state, self._step_key(epoch, it), lr, batch
+            if sums is None:
+                sums = self._metric_zeros(
+                    "real",
+                    lambda: jax.eval_shape(
+                        self.steps.real_step, self.state, self.base_key, lr,
+                        batch,
+                    )[1],
+                )
+            self.state, metrics, sums = self._jit_real_acc(
+                self.state, self.base_key,
+                np.asarray([epoch, it], np.int32), lr, batch, sums,
             )
-            avg.append(metrics)
             if it % 100 == 0:
+                avg = self._fetch_avg(sums, it + 1)
                 dt = time.time() - t0
                 self._log(
-                    f"[{epoch}-{it}]: metric+loss: {avg} lr: {float(lr):.2e} "
-                    f"time: {dt:.2f}s"
+                    f"[{epoch}-{it}]: metric+loss: {_fmt(avg)} "
+                    f"lr: {float(lr):.2e} time: {dt:.2f}s"
                 )
                 self._log_metrics(
-                    {"epoch": epoch, "it": it, "mode": "real", **avg.to_dict()}
+                    {"epoch": epoch, "it": it, "mode": "real", **avg}
                 )
                 t0 = time.time()
 
