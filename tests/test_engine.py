@@ -133,3 +133,52 @@ def test_engine_real_only_epoch(tmp_path):
     with open(os.path.join(engine.model_path, "metrics.jsonl")) as f:
         records = [json.loads(line) for line in f]
     assert any(r["mode"] == "real" and np.isfinite(r["loss"]) for r in records)
+
+
+@pytest.mark.slow
+def test_acc_wrapper_matches_plain_steps(tmp_path):
+    """The accumulating jit wrapper (key derivation + metric sums inside the
+    program) reproduces the plain per-step path: same params, and the sums
+    equal the sum of per-step metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from spherehand_tpu.train.engine import Engine
+
+    cfg = EngineConfig(
+        mode="Train", model_dir=str(tmp_path / "runs"), epoch=1,
+        num_stacks=1, synt_batch=2, synt_iters_per_epoch=3,
+        mv_projection=False, mv_consistency=False, prior=False,
+        collision=False, bone_length=False, tag="a_",
+    )
+    eng = Engine(cfg)
+    lr = jnp.asarray(1e-3)
+
+    # plain path: eager fold_in keys + host accumulation
+    state_a = eng.state
+    plain_sums = None
+    for it in range(3):
+        state_a, metrics = eng._jit_synt(state_a, eng._step_key(0, it), lr)
+        m = {k: np.asarray(v) for k, v in metrics.items()}
+        plain_sums = m if plain_sums is None else {
+            k: plain_sums[k] + v for k, v in m.items()
+        }
+
+    # acc path from the same initial state
+    eng2 = Engine(dataclasses.replace(cfg, tag="b_"))
+    sums = eng2._metric_zeros(
+        "synt", lambda: jax.eval_shape(
+            eng2.steps.synt_step, eng2.state, eng2.base_key, lr)[1],
+    )
+    state_b = eng2.state
+    for it in range(3):
+        state_b, _, sums = eng2._jit_synt_acc(
+            state_b, eng2.base_key, np.asarray([0, it], np.int32), lr, sums)
+
+    leaves_a = jax.tree.leaves(state_a.params)
+    leaves_b = jax.tree.leaves(state_b.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    got = jax.device_get(sums)
+    for k in plain_sums:
+        np.testing.assert_allclose(got[k], plain_sums[k], rtol=1e-6)
