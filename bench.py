@@ -66,6 +66,9 @@ def main() -> None:
                 "value": round(float(lite_fast), 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(float(lite_fast) / TARGET_FPS, 4),
+                # Headline configuration — rounds 1-2 reported the full
+                # mesh (full_fps below is the like-for-like number).
+                "mesh": "lite-1700",
                 "lite_exact_fps": round(float(lite_exact), 2),
                 "full_fps": round(float(full_fast), 2),
                 "full_exact_fps": round(float(full_exact), 2),

@@ -242,13 +242,16 @@ def render_depth_64(
         # (measured max 48.8% over 1,024,000 sampler poses incl. RandScale +
         # focal jitter via raster_pallas.nondump_counts — bound 2112 vs max
         # 1649, a 28% margin; see tests/test_raster_pallas.py). The lite
-        # mesh measures max 917/1700 = 0.539 over 131k poses (bound 1056,
-        # a 15% margin) — the same 0.62 covers both models.
+        # mesh measures max 917/1700 = 0.539 over 131k poses; it gets a
+        # 0.70 bound (keep 1216, a 33% margin — comparable to the full
+        # mesh's) since overflow would silently drop faces. Both margins
+        # are regression-swept in tests/test_raster_pallas.py.
+        valid_frac = 0.62 if model.num_faces > 3000 else 0.70
         return rasterize_depth_binned(
             face_verts, samples, samples,
             width=_C.raster_size, height=_C.raster_size,
             tiles_x=tiles, tiles_y=tiles, exact=exact,
-            valid_frac=0.62, pool_clamp=float(_C.background_depth),
+            valid_frac=valid_frac, pool_clamp=float(_C.background_depth),
             bilinear_grid=(out_size, scale),
         )
     zbuf = rasterize_depth(

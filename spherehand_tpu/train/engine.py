@@ -74,29 +74,46 @@ def _fmt(avg: dict[str, float]) -> str:
 
 def _prefetch(iterable, depth: int = 2):
     """Background-thread prefetch: the loader's memmap gather + decode runs
-    while the previous step's device work is in flight."""
+    while the previous step's device work is in flight. If the consumer
+    abandons the generator mid-epoch (step exception, Ctrl-C), the worker
+    notices via the stop event within 0.5 s and exits instead of blocking on
+    the full queue forever."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     sentinel = object()
+
+    def _put(x) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(x, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for x in iterable:
-                q.put(x)
-            q.put(sentinel)
+                if not _put(x):
+                    return
+            _put(sentinel)
         except BaseException as e:  # surface loader errors in the main thread
-            q.put(e)
+            _put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        x = q.get()
-        if x is sentinel:
-            return
-        if isinstance(x, BaseException):
-            raise x
-        yield x
+    try:
+        while True:
+            x = q.get()
+            if x is sentinel:
+                return
+            if isinstance(x, BaseException):
+                raise x
+            yield x
+    finally:
+        stop.set()
 
 
 class Engine:
@@ -281,9 +298,11 @@ class Engine:
             def put(x):
                 if x is None:
                     return None
-                return jax.make_array_from_process_local_data(
-                    self._batch_sharding, x
-                )
+                if hasattr(jax, "make_array_from_process_local_data"):
+                    return jax.make_array_from_process_local_data(
+                        self._batch_sharding, x
+                    )
+                return jax.device_put(x, self._batch_sharding)
 
             return RealBatch(
                 put(dms), put(joints), put(poses), put(inv_poses), put(weights)

@@ -70,7 +70,7 @@ def test_no_degenerate_or_duplicate_faces(raw):
     assert area2.min() > 1e-9
 
 
-def test_loader_lite_flag():
+def test_loader_lite_flag(raw):
     from spherehand_tpu.hand.assets import load_hand_model
 
     full = load_hand_model()
@@ -79,8 +79,11 @@ def test_loader_lite_flag():
     np.testing.assert_array_equal(
         np.asarray(lite.kp_local), np.asarray(full.kp_local)
     )
-    # right-hand winding swap applied to both
-    assert lite.faces.shape[1] == 3
+    # right-hand winding swap (columns 0/1) applied to the lite mesh too
+    _, lite_npz = raw
+    np.testing.assert_array_equal(
+        np.asarray(lite.faces), lite_npz["faces"][:, [1, 0, 2]]
+    )
 
 
 def test_e2e_artifact_lite_matches_full_training():

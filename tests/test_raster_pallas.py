@@ -126,6 +126,22 @@ def test_truncation_margin_vs_sampler_poses(hand_model):
     assert frac < 0.55, frac
 
 
+def test_truncation_margin_lite_mesh():
+    """Same sweep for the lite mesh's 0.70 bound (131k-pose TPU sweep
+    measured max 53.9%; overflow would silently drop faces, so the lite
+    production path carries a wider bound than its measured max)."""
+    from spherehand_tpu.data.sampler import sample_poses
+    from spherehand_tpu.hand.assets import load_hand_model
+    from spherehand_tpu.render.raster_pallas import nondump_counts
+
+    lite = load_hand_model(lite=True)
+    fv = _hand_faces(lite, jax.random.key(52), 64)
+    samples = jnp.asarray(bilinear_sample_positions(64, 10))
+    counts = np.asarray(nondump_counts(fv, samples, samples))
+    frac = counts.max() / fv.shape[1]
+    assert frac < 0.62, frac  # production bound is 0.70
+
+
 def test_closed_form_grid_matches_searchsorted():
     """bilinear_grid's integer index math == searchsorted on every integer
     query the binner can produce (ceil/trunc of bbox corners)."""

@@ -103,10 +103,10 @@ def main() -> None:
     print(f"wrote {path}")
 
     if args.validate:
-        validate(args.validate)
+        validate(args.validate, path)
 
 
-def validate(num_poses: int) -> None:
+def validate(num_poses: int, path: str | None = None) -> None:
     """Full vs lite depth renders (XLA oracle, CPU-safe): IoU + depth error."""
     import jax
     import jax.numpy as jnp
@@ -117,7 +117,7 @@ def validate(num_poses: int) -> None:
     from spherehand_tpu.render.raster import render_depth_64
 
     full = load_hand_model()
-    lite = load_hand_model(lite=True)
+    lite = load_hand_model(path=path) if path else load_hand_model(lite=True)
     params = sample_poses(jax.random.key(123), num_poses)
 
     def render(model):

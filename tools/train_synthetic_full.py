@@ -65,20 +65,24 @@ def main():
 
     t0 = time.perf_counter()
     history = []
+    log_every = max(1, round(1000 / K))  # chunks between log records
     for start in range(0, steps_n, K):
         state, (losses, errs) = k_steps(
             state, jnp.arange(start, start + K, dtype=jnp.int32)
         )
-        if start % 1000 == 0 or start + K >= steps_n:
-            lr = 1e-3 * (0.1 ** (3 * start // steps_n))
+        last = start + K >= steps_n
+        if (start // K) % log_every == 0 or last:
+            # log the chunk's LAST step so the final record is the final loss
+            step_i = start + K - 1
+            lr = 1e-3 * (0.1 ** (3 * step_i // steps_n))
             rec = {
-                "step": start,
-                "loss": float(losses[0]),
-                "synt_joint_err_mm": float(errs[0]),
+                "step": step_i,
+                "loss": float(losses[-1]),
+                "synt_joint_err_mm": float(errs[-1]),
                 "lr": lr,
             }
             history.append(rec)
-            print(f"step {start:6d}: loss {rec['loss']:10.2f}  "
+            print(f"step {step_i:6d}: loss {rec['loss']:10.2f}  "
                   f"err {rec['synt_joint_err_mm']:6.2f} mm  lr {lr:.1e}",
                   flush=True)
     jax.block_until_ready(state.params)
