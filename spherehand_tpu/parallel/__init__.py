@@ -4,5 +4,6 @@ from spherehand_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     data_mesh,
     replicated,
+    scan_batch_sharding,
     shard_batch,
 )

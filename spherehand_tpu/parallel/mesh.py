@@ -32,6 +32,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def scan_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 1 (batch) over ``data``; axis 0 is a replicated scan/step
+    axis (the engine's steps_per_call chunk)."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     """Fully replicated sharding (params, optimizer state, scalars)."""
     return NamedSharding(mesh, P())

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default="full", choices=["full", "lite"],
                    help="hand mesh for synthetic renders (lite = decimated, "
                         "faster raster, sub-output-pixel depth differences)")
+    p.add_argument("--steps_per_call", default=1, type=int,
+                   help="combined-epoch steps scanned per dispatch "
+                        "(same math as 1; >1 amortizes host round trips)")
     return p
 
 
@@ -78,6 +81,7 @@ def config_from_args(args: argparse.Namespace) -> EngineConfig:
         data_parallel=not args.no_data_parallel,
         bf16=args.bf16,
         mesh=args.mesh,
+        steps_per_call=args.steps_per_call,
     )
 
 

@@ -53,6 +53,10 @@ class EngineConfig:
     mesh: str = "full"  # "full" | "lite": hand mesh for synthetic renders
     # (tools/make_lite_mesh.py; same bones/keypoints/spheres, ~half the
     # triangles — faster raster, sub-output-pixel depth differences)
+    steps_per_call: int = 1  # combined-epoch steps scanned per dispatch;
+    # K>1 stacks K real batches and lax.scans the step K times inside one
+    # jitted call (same keys/batches/curriculum as K=1) — robust to high
+    # host<->device dispatch latency
 
     @property
     def loss_config(self) -> LossConfig:

@@ -35,7 +35,12 @@ from spherehand_tpu.constants import Constants
 from spherehand_tpu.data.nyu import NyuDataset, NyuLoader
 from spherehand_tpu.hand.assets import load_hand_model
 from spherehand_tpu.losses.multitask import LOSS_WEIGHTS
-from spherehand_tpu.parallel import batch_sharding, data_mesh, replicated
+from spherehand_tpu.parallel import (
+    batch_sharding,
+    data_mesh,
+    replicated,
+    scan_batch_sharding,
+)
 from spherehand_tpu.train.config import EngineConfig
 from spherehand_tpu.train.steps import RealBatch, build_steps
 from spherehand_tpu.utils.profiling import StepTimer
@@ -155,6 +160,7 @@ class Engine:
             self.mesh = data_mesh(jax.devices()[:1])
         self._n_devices = n
         self._batch_sharding = batch_sharding(self.mesh)
+        self._scan_batch_sharding = scan_batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
         self.steps = build_steps(
             cfg,
@@ -244,9 +250,35 @@ class Engine:
             )
             return state, metrics, _add(sums, metrics)
 
+        def combined_scan(state, base_key, epoch, its, lr, batches, sums):
+            """K steps per dispatch: ``its`` (K,) global iteration ids,
+            ``batches`` a RealBatch with a leading K axis. Keys and the
+            curriculum compare use the same per-it derivation as K=1 — the
+            run is step-for-step equivalent (identical losses; the scanned
+            step's backward compiles with different reduction order than
+            the standalone step, so params drift at f32 rounding level)."""
+            ekey = jax.random.fold_in(base_key, epoch)
+
+            def body(carry, inp):
+                st, sums = carry
+                i, batch = inp
+                is_mv = i < cfg.mv_curriculum_iters
+                st, metrics, vis = steps.combined_step(
+                    st, jax.random.fold_in(ekey, i), lr, batch, is_mv
+                )
+                return (st, _add(sums, metrics)), (metrics, vis)
+
+            (state, sums), (metrics_k, vis_k) = jax.lax.scan(
+                body, (state, sums), (its, batches)
+            )
+            last = jax.tree.map(lambda x: x[-1], metrics_k)
+            last_vis = jax.tree.map(lambda x: x[-1], vis_k)
+            return state, last, last_vis, sums
+
         self._jit_synt_acc = jax.jit(synt_acc, donate_argnums=(0, 4))
         self._jit_combined_acc = jax.jit(combined_acc, donate_argnums=(0, 5))
         self._jit_real_acc = jax.jit(real_acc, donate_argnums=(0, 5))
+        self._jit_combined_scan = jax.jit(combined_scan, donate_argnums=(0, 6))
 
     def _metric_zeros(self, kind: str, eval_fn) -> dict:
         """Zero-valued metric sums matching a step's metric tree (host-side
@@ -274,11 +306,11 @@ class Engine:
         shuffle = train and not self.cfg.temporal  # engine.py:326-327
         return NyuLoader(data, batch_size, shuffle, seed=self.cfg.seed)
 
-    def _put_batch(self, raw) -> RealBatch:
-        """Shard a host batch over the mesh, padding the leading axis up to a
-        multiple of the device count with wraparound duplicate rows at loss
-        weight 0 (duplicates keep every loss term finite; the weights erase
-        their contribution — spherehand_tpu.ops.reduce)."""
+    def _pad_batch(self, raw) -> RealBatch:
+        """Host-side padding: the leading axis grows to a multiple of the
+        device count with wraparound duplicate rows at loss weight 0
+        (duplicates keep every loss term finite; the weights erase their
+        contribution — spherehand_tpu.ops.reduce)."""
         dms, joints, poses, inv_poses = (np.asarray(x) for x in raw)
         n = self._n_devices
         b = dms.shape[0]
@@ -291,6 +323,11 @@ class Engine:
             )
             weights = np.zeros(b + pad, np.float32)
             weights[:b] = 1.0
+        return RealBatch(dms, joints, poses, inv_poses, weights)
+
+    def _put_batch(self, raw) -> RealBatch:
+        """Pad + shard one host batch over the mesh."""
+        dms, joints, poses, inv_poses, weights = self._pad_batch(raw)
 
         if jax.process_count() > 1:
             # Per-host input sharding: each process provides only its local
@@ -313,6 +350,23 @@ class Engine:
             RealBatch(dms, joints, poses, inv_poses, weights),
             self._batch_sharding,
         )
+
+    def _put_batches(self, raws) -> RealBatch:
+        """Pad K host batches, stack them on a NEW leading axis (K, B, ...)
+        and upload once — the operand of the steps_per_call scan. The batch
+        axis (now axis 1) still shards over the mesh; the scan axis
+        replicates."""
+        padded = [self._pad_batch(raw) for raw in raws]
+        stacked = RealBatch(*(
+            None if leaves[0] is None else np.stack(leaves)
+            for leaves in zip(*padded)
+        ))
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "steps_per_call > 1 with multi-host input sharding is not "
+                "wired up; use steps_per_call=1 on multi-host slices"
+            )
+        return jax.device_put(stacked, self._scan_batch_sharding)
 
     # ------------------------------------------------------------- utilities
     def _log(self, text: str) -> None:
@@ -393,6 +447,8 @@ class Engine:
 
     def _epoch_combined(self, epoch: int) -> None:
         """Mixed synthetic + real self-supervised epoch (engine.py:318-436)."""
+        if self.cfg.steps_per_call > 1:
+            return self._epoch_combined_scan(epoch)
         cfg = self.cfg
         lr = jnp.asarray(cfg.lr_at_epoch(epoch))
         loader = self._real_loader(train=True, batch_size=cfg.real_batch)
@@ -431,6 +487,84 @@ class Engine:
                     }
                 )
                 t0 = time.time()
+
+    def _epoch_combined_scan(self, epoch: int) -> None:
+        """steps_per_call > 1: K combined steps lax.scanned per dispatch.
+
+        Step-for-step equivalent to the per-step path (same per-it keys,
+        batches and curriculum compares; the scanned compilation rounds
+        differently at f32 level). K stacked real batches upload together
+        and the scan runs them through the step without host round trips.
+        Ragged leftovers at the epoch end run through the per-step
+        accumulating jit."""
+        cfg = self.cfg
+        K = cfg.steps_per_call
+        lr = jnp.asarray(cfg.lr_at_epoch(epoch))
+        loader = self._real_loader(train=True, batch_size=cfg.real_batch)
+        timer = StepTimer(window=max(1, 100 // K))
+        sums = None
+        it = 0
+        buf = []
+        t0 = time.time()
+
+        def ensure_sums(batch_like):
+            return self._metric_zeros(
+                "combined",
+                lambda: jax.eval_shape(
+                    self.steps.combined_step, self.state, self.base_key, lr,
+                    batch_like, jnp.asarray(True),
+                )[1],
+            )
+
+        def log_window(it, sums, vis):
+            # `it` = iterations completed; cadences fire when the 100/400
+            # boundaries fall inside the chunk just processed.
+            done = it - 1  # last completed iteration id
+            if (it - K) % 400 < K:
+                self._dump_train_images(epoch, done, vis)
+            if (it - K) % 100 < K:
+                avg = self._fetch_avg(sums, it)
+                dt = time.time() - t0
+                sps = timer.steps_per_sec * K
+                self._log(
+                    f"[{epoch}-{done}]: metric+loss: {_fmt(avg)} "
+                    f"lr: {float(lr):.2e} steps/s: {sps:.2f} time: {dt:.2f}s"
+                )
+                self._log_metrics(
+                    {"epoch": epoch, "it": done, "mode": "both",
+                     "steps_per_sec": sps, **avg}
+                )
+
+        for raw in _prefetch(loader):
+            buf.append(raw)
+            if len(buf) < K:
+                continue
+            batches = self._put_batches(buf)
+            buf = []
+            if sums is None:
+                one = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype),
+                    batches,
+                )
+                sums = ensure_sums(one)
+            its = jnp.asarray(np.arange(it, it + K, dtype=np.int32))
+            self.state, metrics, vis, sums = self._jit_combined_scan(
+                self.state, self.base_key, np.int32(epoch), its, lr,
+                batches, sums,
+            )
+            it += K
+            timer.tick(metrics["loss"])
+            log_window(it, sums, vis)
+
+        for raw in buf:  # ragged tail, per-step
+            batch = self._put_batch(raw)
+            if sums is None:
+                sums = ensure_sums(batch)
+            self.state, metrics, vis, sums = self._jit_combined_acc(
+                self.state, self.base_key,
+                np.asarray([epoch, it], np.int32), lr, batch, sums,
+            )
+            it += 1
 
     def _epoch_real_train(self, epoch: int) -> None:
         """Real-only self-supervised epoch, bs=8 (engine.py:150-263)."""

@@ -182,3 +182,60 @@ def test_acc_wrapper_matches_plain_steps(tmp_path):
     got = jax.device_get(sums)
     for k in plain_sums:
         np.testing.assert_allclose(got[k], plain_sums[k], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_steps_per_call_scan_matches_per_step(tmp_path):
+    """--steps_per_call K scans K combined steps per dispatch with the same
+    per-it keys, batches and curriculum compares as K=1. A wrong key, batch
+    order or curriculum flag would change the LOSSES outright, so the sums
+    are compared tightly; params only to f32-rounding tolerance (the scanned
+    step's backward compiles with a different reduction order, and Adam
+    amplifies ulp-level gradient differences)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spherehand_tpu.train.engine import Engine
+
+    data_dir = str(tmp_path / "nyu")
+    _write_fake_nyu(data_dir, "train", num_samples=6)
+    base = dict(
+        mode="Train", model_dir=str(tmp_path / "runs"), dataset_dir=data_dir,
+        epoch=1, num_stacks=1, real_batch=2, synt_batch=2,
+        mv_curriculum_iters=2,  # curriculum boundary falls inside the chunk
+    )
+    lr = jnp.asarray(1e-3)
+    eng1 = Engine(EngineConfig(**base, tag="k1_", steps_per_call=1))
+    loader = eng1._real_loader(train=True, batch_size=2)
+    raws = list(loader)[:2]
+
+    sums0 = eng1._metric_zeros(
+        "combined",
+        lambda: jax.eval_shape(
+            eng1.steps.combined_step, eng1.state, eng1.base_key, lr,
+            eng1._put_batch(raws[0]), jnp.asarray(True))[1],
+    )
+    state = eng1.state
+    sums_a = dict(sums0)
+    for it, raw in enumerate(raws):
+        state, _, _, sums_a = eng1._jit_combined_acc(
+            state, eng1.base_key, np.asarray([0, it], np.int32), lr,
+            eng1._put_batch(raw), sums_a,
+        )
+
+    eng2 = Engine(EngineConfig(**base, tag="k2_", steps_per_call=2))
+    batches = eng2._put_batches(raws)
+    state2, _, _, sums_b = eng2._jit_combined_scan(
+        eng2.state, eng2.base_key, np.int32(0),
+        jnp.asarray([0, 1], jnp.int32), lr, batches, dict(sums0),
+    )
+
+    assert int(state.step) == int(state2.step) == 2
+    got_a, got_b = jax.device_get(sums_a), jax.device_get(sums_b)
+    for k in got_a:  # forward losses reproduce to float tolerance
+        np.testing.assert_allclose(got_b[k], got_a[k], rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3
+        )
