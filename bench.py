@@ -18,6 +18,13 @@ Every other configuration rides along, labeled:
     ``fast`` = half-plane coverage (identical depths, boundary pixels may
     differ — the training-data production default).
 
+Measurement methodology: each number times ``iters`` renders (or train
+steps) under ONE lax.scan dispatch, best of 3 dispatches — matching
+production (synthesis is fused inside the jitted train step, never
+dispatched per call) and insulating the benchmark from the measurement
+environment's volatile per-dispatch tunnel latency (ms to seconds by
+epoch; see PERF.md device-time table).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 from __future__ import annotations

@@ -31,28 +31,48 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def measure_render_fps(model, batch: int, exact: bool, iters: int = 20) -> float:
-    """Frames/sec of the full synthesis render path on the default device."""
+def measure_render_fps(model, batch: int, exact: bool, iters: int = 20,
+                       repeats: int = 3) -> float:
+    """Frames/sec of the full synthesis render path on the default device.
+
+    The ``iters`` renders run under ONE ``lax.scan`` dispatch — production
+    renders are fused inside the jitted train step, never dispatched
+    per-call, and the measurement environment's per-dispatch tunnel latency
+    is volatile (ms to seconds), so per-call timing measures the tunnel,
+    not the chip. Best of ``repeats`` dispatches sheds one-off hiccups.
+    A scalar reduction of every frame is carried so no iteration can be
+    elided."""
+    import jax.numpy as jnp
+
     from spherehand_tpu.data.sampler import sample_poses
     from spherehand_tpu.hand.kinematics import forward_kinematics
     from spherehand_tpu.render.raster import render_depth_64
 
     @functools.partial(jax.jit, static_argnames=("exact",))
-    def render(key, exact):
-        params = sample_poses(key, batch)
-        transforms = forward_kinematics(model, params)
-        rand_f = jax.random.uniform(
-            jax.random.fold_in(key, 1), (batch,), minval=0.9, maxval=1.1
+    def render_many(key0, exact):
+        def body(acc, i):
+            key = jax.random.fold_in(key0, i)
+            params = sample_poses(key, batch)
+            transforms = forward_kinematics(model, params)
+            rand_f = jax.random.uniform(
+                jax.random.fold_in(key, 1), (batch,), minval=0.9, maxval=1.1
+            )
+            out = render_depth_64(model, transforms, rand_f, exact=exact)
+            return acc + jnp.mean(out), None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(()), jnp.arange(iters, dtype=jnp.int32)
         )
-        return render_depth_64(model, transforms, rand_f, exact=exact)
+        return acc
 
-    out = render(jax.random.key(0), exact)
+    out = render_many(jax.random.key(0), exact)
     jax.block_until_ready(out)  # compile/warmup
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = render(jax.random.key(i + 1), exact)
-    jax.block_until_ready(out)
-    return batch * iters / (time.perf_counter() - t0)
+    best = 0.0
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        out = render_many(jax.random.key(r + 1), exact)
+        jax.block_until_ready(out)
+        best = max(best, batch * iters / (time.perf_counter() - t0))
+    return best
 
 
 def main() -> None:
