@@ -1,18 +1,22 @@
-"""Serving-path benchmark: depth crops -> joints latency/throughput.
+"""Serving-path benchmark: depth crops -> joints, DEVICE time per call.
 
 Measures spherehand_tpu.infer.PoseEstimator (hourglass forward + soft-argmax
-+ palm denoiser — the packaged serving surface) on the attached chip, at a
-latency-oriented small batch and a throughput-oriented large batch. The
-reference has no serving path to compare (estimation only exists inside its
-eval loop, network/engine.py:150-263).
++ palm denoiser — the packaged serving surface) via jax.profiler device
+traces: the measurement environment's host<->chip tunnel has volatile
+per-dispatch latency AND an execution relay that makes repeated-call
+wall-clock timing unreliable (CLAUDE.md), so the jit umbrella's device time
+is the only trustworthy latency/throughput number here. The reference has
+no serving path to compare (estimation only exists inside its eval loop,
+network/engine.py:150-263).
 
 Usage: python tools/bench_infer.py [batches="1,8,128,1024"]
 """
 from __future__ import annotations
 
+import collections
 import os
 import sys
-import time
+import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -26,7 +30,26 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from parse_trace import load_events
+
 from spherehand_tpu.infer import PoseEstimator, load_params_npz
+
+
+def _device_ms(trace_dir: str, op_prefix: str, calls: int) -> float:
+    """Device time per call of the jit umbrella op in a trace."""
+    events, names = load_events(trace_dir)
+    device_pids = {
+        pid for pid, name in names.items()
+        if "TPU" in name or "/device:" in name or "XLA" in name.upper()
+    }
+    totals: dict[str, float] = collections.defaultdict(float)
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            totals[e.get("name", "?")] += e.get("dur", 0)
+    for name, dur in totals.items():
+        if name.startswith(op_prefix):
+            return dur / 1e3 / calls
+    raise RuntimeError(f"no {op_prefix} op in {trace_dir}")
 
 
 def main() -> None:
@@ -43,13 +66,13 @@ def main() -> None:
         dms = np.full((b, 64, 64), 100.0, np.float32)
         dms[:, 20:44, 20:44] = rng.uniform(20, 60, (b, 24, 24))
         est.predict(dms)  # compile/warmup
-        iters = 50 if b <= 8 else 20
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = est.predict(dms)
-        dt = (time.perf_counter() - t0) / iters
-        print(f"B={b:5d}: {dt * 1e3:7.2f} ms/call  "
-              f"{b / dt:10,.0f} crops/sec", flush=True)
+        outdir = tempfile.mkdtemp(prefix=f"trinfer{b}_")
+        with jax.profiler.trace(outdir):
+            for _ in range(3):
+                est.predict(dms)
+        ms = _device_ms(outdir, "jit__predict", 3)
+        print(f"B={b:5d}: {ms:7.3f} ms device/call  "
+              f"{b / ms * 1e3:10,.0f} crops/sec", flush=True)
 
 
 if __name__ == "__main__":
