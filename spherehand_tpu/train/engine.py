@@ -124,6 +124,11 @@ def _prefetch(iterable, depth: int = 2):
 class Engine:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
+        if cfg.steps_per_call > 1 and jax.process_count() > 1:
+            raise ValueError(
+                "steps_per_call > 1 with multi-host input sharding is not "
+                "wired up; use steps_per_call=1 on multi-host slices"
+            )
         # "lite" swaps in the decimated mesh (identical bones/keypoints/
         # spheres, so every loss and metric is unaffected; only the synthetic
         # depth raster sees the smaller triangle set).
@@ -256,24 +261,30 @@ class Engine:
             curriculum compare use the same per-it derivation as K=1 — the
             run is step-for-step equivalent (identical losses; the scanned
             step's backward compiles with different reduction order than
-            the standalone step, so params drift at f32 rounding level)."""
+            the standalone step, so params drift at f32 rounding level).
+            The first K-1 steps scan with no per-step outputs; the last
+            step runs unrolled so its metrics/vis come back at O(1) memory
+            (stacking vis across the scan would hold K image sets in HBM)."""
             ekey = jax.random.fold_in(base_key, epoch)
 
-            def body(carry, inp):
-                st, sums = carry
-                i, batch = inp
+            def one(st, i, batch, sums):
                 is_mv = i < cfg.mv_curriculum_iters
                 st, metrics, vis = steps.combined_step(
                     st, jax.random.fold_in(ekey, i), lr, batch, is_mv
                 )
-                return (st, _add(sums, metrics)), (metrics, vis)
+                return st, metrics, vis, _add(sums, metrics)
 
-            (state, sums), (metrics_k, vis_k) = jax.lax.scan(
-                body, (state, sums), (its, batches)
-            )
-            last = jax.tree.map(lambda x: x[-1], metrics_k)
-            last_vis = jax.tree.map(lambda x: x[-1], vis_k)
-            return state, last, last_vis, sums
+            def body(carry, inp):
+                st, sums = carry
+                i, batch = inp
+                st, _, _, sums = one(st, i, batch, sums)
+                return (st, sums), None
+
+            head = jax.tree.map(lambda x: x[:-1], (its, batches))
+            (state, sums), _ = jax.lax.scan(body, (state, sums), head)
+            last_batch = jax.tree.map(lambda x: x[-1], batches)
+            state, metrics, vis, sums = one(state, its[-1], last_batch, sums)
+            return state, metrics, vis, sums
 
         self._jit_synt_acc = jax.jit(synt_acc, donate_argnums=(0, 4))
         self._jit_combined_acc = jax.jit(combined_acc, donate_argnums=(0, 5))
@@ -506,6 +517,7 @@ class Engine:
         it = 0
         buf = []
         t0 = time.time()
+        logged_any = False
 
         def ensure_sums(batch_like):
             return self._metric_zeros(
@@ -516,13 +528,18 @@ class Engine:
                 )[1],
             )
 
-        def log_window(it, sums, vis):
-            # `it` = iterations completed; cadences fire when the 100/400
-            # boundaries fall inside the chunk just processed.
+        def _crossed(prev: int, it: int, period: int) -> bool:
+            """A multiple of ``period`` lies in [prev, it)."""
+            return ((prev + period - 1) // period) * period < it
+
+        def log_window(prev, it, sums, vis):
+            # fire when the chunk [prev, it) crossed a 100/400 boundary
+            # (matches the K=1 path's it % N == 0, any K)
+            nonlocal t0, logged_any
             done = it - 1  # last completed iteration id
-            if (it - K) % 400 < K:
+            if vis is not None and _crossed(prev, it, 400):
                 self._dump_train_images(epoch, done, vis)
-            if (it - K) % 100 < K:
+            if _crossed(prev, it, 100):
                 avg = self._fetch_avg(sums, it)
                 dt = time.time() - t0
                 sps = timer.steps_per_sec * K
@@ -534,7 +551,10 @@ class Engine:
                     {"epoch": epoch, "it": done, "mode": "both",
                      "steps_per_sec": sps, **avg}
                 )
+                t0 = time.time()
+                logged_any = True
 
+        vis = None
         for raw in _prefetch(loader):
             buf.append(raw)
             if len(buf) < K:
@@ -552,9 +572,9 @@ class Engine:
                 self.state, self.base_key, np.int32(epoch), its, lr,
                 batches, sums,
             )
-            it += K
+            prev, it = it, it + K
             timer.tick(metrics["loss"])
-            log_window(it, sums, vis)
+            log_window(prev, it, sums, vis)
 
         for raw in buf:  # ragged tail, per-step
             batch = self._put_batch(raw)
@@ -564,7 +584,18 @@ class Engine:
                 self.state, self.base_key,
                 np.asarray([epoch, it], np.int32), lr, batch, sums,
             )
-            it += 1
+            prev, it = it, it + 1
+            log_window(prev, it, sums, vis)
+        if it > 0 and not logged_any:
+            # short epoch (< 100 steps): still record one metrics line
+            avg = self._fetch_avg(sums, it)
+            self._log(
+                f"[{epoch}-{it - 1}]: metric+loss: {_fmt(avg)} "
+                f"lr: {float(lr):.2e} time: {time.time() - t0:.2f}s"
+            )
+            self._log_metrics(
+                {"epoch": epoch, "it": it - 1, "mode": "both", **avg}
+            )
 
     def _epoch_real_train(self, epoch: int) -> None:
         """Real-only self-supervised epoch, bs=8 (engine.py:150-263)."""

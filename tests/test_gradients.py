@@ -14,12 +14,7 @@ import jax.numpy as jnp
 from jax.test_util import check_grads
 
 
-@pytest.fixture(scope="module")
-def hand(hand_model):
-    return hand_model
-
-
-def test_fk_keypoints_grad(hand):
+def test_fk_keypoints_grad(hand_model):
     """d(keypoints)/d(pose params) through the analytic FK chain."""
     from spherehand_tpu.hand.kinematics import forward_kinematics
     from spherehand_tpu.hand.skinning import lbs_keypoints
@@ -27,20 +22,20 @@ def test_fk_keypoints_grad(hand):
     pose = jnp.zeros((1, 26)) + 0.1
 
     def f(p):
-        kp = lbs_keypoints(hand, forward_kinematics(hand, p))
+        kp = lbs_keypoints(hand_model, forward_kinematics(hand_model, p))
         return jnp.sum(kp[..., :3] * 0.01)
 
     check_grads(f, (pose,), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
 
 
-def test_sphere_render_d2m_grad(hand):
+def test_sphere_render_d2m_grad(hand_model):
     """d(data-to-model distance)/d(sphere centers) — the loss that pulls
     the model surface onto observed depth pixels."""
     from spherehand_tpu.render.sphere import data_to_model_distance
 
     rng = np.random.RandomState(0)
     centers = jnp.asarray(rng.uniform(-60, 60, (1, 41, 3)).astype(np.float32))
-    radii = jnp.asarray(np.asarray(hand.kp_radius, np.float32))
+    radii = jnp.asarray(np.asarray(hand_model.kp_radius, np.float32))
     dms = np.full((1, 32, 32), 100.0, np.float32)
     dms[:, 10:22, 10:22] = rng.uniform(-40, 40, (1, 12, 12))
     dms = jnp.asarray(dms)
@@ -51,14 +46,14 @@ def test_sphere_render_d2m_grad(hand):
     check_grads(f, (centers,), order=1, modes=["rev"], atol=2e-2, rtol=2e-2)
 
 
-def test_sphere_hand_min_depth_grad(hand):
+def test_sphere_hand_min_depth_grad(hand_model):
     """d(rendered min-depth map)/d(centers): the model-to-data direction
     differentiates through the per-pixel min over spheres."""
     from spherehand_tpu.render.sphere import render_sphere_hand
 
     rng = np.random.RandomState(1)
     centers = jnp.asarray(rng.uniform(-40, 40, (1, 41, 3)).astype(np.float32))
-    radii = jnp.asarray(np.asarray(hand.kp_radius, np.float32))
+    radii = jnp.asarray(np.asarray(hand_model.kp_radius, np.float32))
 
     def f(c):
         _, depth = render_sphere_hand(c, radii, 32)
@@ -71,7 +66,7 @@ def test_sphere_hand_min_depth_grad(hand):
     assert np.abs(np.asarray(g)).sum() > 0
 
 
-def test_multiview_projection_loss_grad(hand):
+def test_multiview_projection_loss_grad(hand_model):
     """End-to-end: d(mv_projection loss)/d(predicted joints) is finite and
     matches finite differences on a small multi-view instance."""
     from spherehand_tpu.losses.multiview import mutual_projection_loss
@@ -79,7 +74,7 @@ def test_multiview_projection_loss_grad(hand):
     rng = np.random.RandomState(2)
     B, V = 1, 2
     joints = jnp.asarray(rng.uniform(-50, 50, (B, V, 41, 3)).astype(np.float32))
-    radii = jnp.asarray(np.asarray(hand.kp_radius, np.float32))
+    radii = jnp.asarray(np.asarray(hand_model.kp_radius, np.float32))
     dms = np.full((B, V, 32, 32), 100.0, np.float32)
     dms[..., 8:24, 8:24] = rng.uniform(-40, 40, (B, V, 16, 16))
     dms = jnp.asarray(dms)

@@ -13,7 +13,6 @@ Usage: python tools/bench_infer.py [batches="1,8,128,1024"]
 """
 from __future__ import annotations
 
-import collections
 import os
 import sys
 import tempfile
@@ -30,22 +29,14 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from parse_trace import load_events
+from parse_trace import device_op_totals
 
 from spherehand_tpu.infer import PoseEstimator, load_params_npz
 
 
 def _device_ms(trace_dir: str, op_prefix: str, calls: int) -> float:
     """Device time per call of the jit umbrella op in a trace."""
-    events, names = load_events(trace_dir)
-    device_pids = {
-        pid for pid, name in names.items()
-        if "TPU" in name or "/device:" in name or "XLA" in name.upper()
-    }
-    totals: dict[str, float] = collections.defaultdict(float)
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in device_pids:
-            totals[e.get("name", "?")] += e.get("dur", 0)
+    totals, _, _ = device_op_totals(trace_dir)
     for name, dur in totals.items():
         if name.startswith(op_prefix):
             return dur / 1e3 / calls

@@ -32,17 +32,11 @@ def load_events(trace_dir: str) -> tuple[list, dict]:
     return events, names
 
 
-def main() -> None:
-    trace_dir = sys.argv[1]
-    top_n = 25
-    per_call = 1
-    args = sys.argv[2:]
-    if args and not args[0].startswith("--"):
-        top_n = int(args[0])
-        args = args[1:]
-    if args and args[0] == "--per-call":
-        per_call = int(args[1])
+def device_op_totals(trace_dir: str):
+    """Per-op device-time totals (us) and counts from a trace directory.
 
+    NOTE: summing these double-counts jit umbrella ops + their children —
+    read the ``jit_*`` row for a program's true device time per call."""
     events, names = load_events(trace_dir)
     device_pids = {
         pid
@@ -57,8 +51,23 @@ def main() -> None:
         name = e.get("name", "?")
         totals[name] += e.get("dur", 0)
         counts[name] += 1
+    return totals, counts, {pid: names[pid] for pid in device_pids}
+
+
+def main() -> None:
+    trace_dir = sys.argv[1]
+    top_n = 25
+    per_call = 1
+    args = sys.argv[2:]
+    if args and not args[0].startswith("--"):
+        top_n = int(args[0])
+        args = args[1:]
+    if args and args[0] == "--per-call":
+        per_call = int(args[1])
+
+    totals, counts, device_pids = device_op_totals(trace_dir)
     grand = sum(totals.values())
-    print(f"tracks: { {pid: names[pid] for pid in device_pids} }")
+    print(f"tracks: {device_pids}")
     print(f"total device time: {grand / 1e3:.2f} ms over {len(totals)} ops")
     print(f"{'op':60s} {'count':>6s} {'total ms':>9s} {'ms/call':>8s}")
     for name, dur in sorted(totals.items(), key=lambda kv: -kv[1])[:top_n]:
