@@ -44,6 +44,13 @@ class HandModel:
     kp_bone: jnp.ndarray       # (41,) int32 owning bone per sphere
     kp_radius: jnp.ndarray     # (41,) sphere radii, mm
     right_hand: bool = struct.field(pytree_node=False, default=True)
+    # Validated rasterizer truncation bound for THIS mesh (fraction of faces
+    # the sorted record buffer keeps; see raster_pallas.nondump_counts). It is
+    # a per-mesh measured property, so it ships in the asset npz
+    # (tools/convert_assets.py / tools/make_lite_mesh.py validate and write
+    # it). 1.0 = no truncation — the safe default for meshes without a
+    # validated bound.
+    raster_valid_frac: float = struct.field(pytree_node=False, default=1.0)
 
     @property
     def num_vertices(self) -> int:
@@ -108,6 +115,8 @@ def load_hand_model(
         kp_bone=jnp.asarray(raw["kp_bone"].astype(np.int32)),
         kp_radius=jnp.asarray(raw["kp_radius"].astype(np.float32), dtype),
         right_hand=right_hand,
+        raster_valid_frac=float(raw["raster_valid_frac"])
+        if "raster_valid_frac" in raw.files else 1.0,
     )
 
 

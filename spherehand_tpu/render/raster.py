@@ -211,6 +211,7 @@ def render_depth_64(
     out_size: int = 64,
     backend: str = "auto",
     exact: bool = False,
+    chunk_override: int | None = None,
 ) -> jnp.ndarray:
     """Bone transforms -> 64x64 depth maps in mm, reference-parity path.
 
@@ -237,22 +238,20 @@ def render_depth_64(
         from spherehand_tpu.render.raster_pallas import rasterize_depth_binned
 
         tiles = (2 * out_size) // 8
-        # valid_frac 0.62: the kernel only addresses nondump (front-facing,
-        # on-screen) faces; for the closed hand mesh that is ~half the faces
-        # (measured max 48.8% over 1,024,000 sampler poses incl. RandScale +
-        # focal jitter via raster_pallas.nondump_counts — bound 2112 vs max
-        # 1649, a 28% margin; see tests/test_raster_pallas.py). The lite
-        # mesh measures max 917/1700 = 0.539 over 131k poses; it gets a
-        # 0.70 bound (keep 1216, a 33% margin — comparable to the full
-        # mesh's) since overflow would silently drop faces. Both margins
-        # are regression-swept in tests/test_raster_pallas.py.
-        valid_frac = 0.62 if model.num_faces > 3000 else 0.70
+        # The truncation bound is a measured per-mesh property shipped in the
+        # asset npz (full mesh 0.62: max nondump 48.8% over 1,024,000 sampler
+        # poses incl. RandScale + focal jitter; lite mesh 0.70: max 53.9%
+        # over 131k poses — both leave a ~30% margin, regression-swept in
+        # tests/test_raster_pallas.py). A mesh without a validated bound gets
+        # 1.0 (no truncation) — overflowing faces would silently vanish.
         return rasterize_depth_binned(
             face_verts, samples, samples,
             width=_C.raster_size, height=_C.raster_size,
             tiles_x=tiles, tiles_y=tiles, exact=exact,
-            valid_frac=valid_frac, pool_clamp=float(_C.background_depth),
+            valid_frac=model.raster_valid_frac,
+            pool_clamp=float(_C.background_depth),
             bilinear_grid=(out_size, scale),
+            chunk_override=chunk_override,
         )
     zbuf = rasterize_depth(
         face_verts, samples, samples,

@@ -249,6 +249,29 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height,
     xmin, xmax = px[..., 0], px[..., 2]
     ymin = jnp.min(py, axis=-1)
     ymax = jnp.max(py, axis=-1)
+
+    # CUDA column-0 quirk (.cu:68-69): xi_max casts min(p2x, W-1) with C
+    # trunc-toward-zero, so a face entirely left of the canvas with
+    # p2x in (-1, 0) still paints column 0 — and its scanline y bounds there
+    # are EXTRAPOLATIONS of edges 1-2 and 0-2 beyond p2x, which can land far
+    # outside the face's vertex y-bbox. Binning by bbox alone would file the
+    # face in row buckets that never cover those samples (found by the .cu
+    # derivation audit; tests/test_raster_adversarial.py pins it). Extend the
+    # bbox by the column-0 scanline bounds for exactly those faces.
+    px0, px1, px2 = px[..., 0], px[..., 1], px[..., 2]
+    py0, py1, py2 = py[..., 0], py[..., 1], py[..., 2]
+    quirk = (xmax < 0.0) & (xmax > -1.0)
+    dx12 = px2 - px1
+    y12 = jnp.where(
+        dx12 == 0.0,
+        py1,
+        (py2 - py1) / jnp.where(dx12 == 0.0, 1.0, dx12) * (0.0 - px1) + py1,
+    )
+    dx02 = px2 - px0  # > 0 for every non-dumped face (px0 != px2 sorted)
+    y02 = (py2 - py0) / jnp.where(dx02 == 0.0, 1.0, dx02) * (0.0 - px0) + py0
+    ymin = jnp.where(quirk, jnp.minimum(ymin, jnp.minimum(y12, y02)), ymin)
+    ymax = jnp.where(quirk, jnp.maximum(ymax, jnp.maximum(y12, y02)), ymax)
+
     xmax_c = jnp.trunc(jnp.minimum(xmax, width - 1.0))
     ymax_c = jnp.trunc(jnp.minimum(ymax, height - 1.0))
 
@@ -544,7 +567,7 @@ def _raster_kernel_exact(
     static_argnames=(
         "width", "height", "tiles_x", "tiles_y", "interpret", "exact",
         "valid_frac", "pool_clamp", "smem_block_starts", "bilinear_grid",
-        "_diag_stub",
+        "chunk_override", "_diag_stub",
     ),
 )
 def rasterize_depth_binned(
@@ -561,6 +584,7 @@ def rasterize_depth_binned(
     pool_clamp: float | None = None,
     smem_block_starts: bool | None = None,
     bilinear_grid: tuple[int, int] | None = None,
+    chunk_override: int | None = None,
     _diag_stub: bool = False,
 ) -> jnp.ndarray:
     """Tile-binned Pallas rasterization at integer sample positions.
@@ -591,7 +615,11 @@ def rasterize_depth_binned(
     # tile-ROW granularity when the quad spans a full row (smaller histogram,
     # ONE contiguous window, near-empty overflow — _bin_faces docstring).
     quad = QUAD_EXACT if exact else QUAD_FAST
-    chunk = CHUNK_EXACT if exact else CHUNK
+    # chunk_override is a real static argument (part of the jit cache key) so
+    # chunk probes recompile instead of silently reusing the stale trace —
+    # patching the module constants from outside has no effect on a jitted fn.
+    chunk = chunk_override or (CHUNK_EXACT if exact else CHUNK)
+    assert chunk % 8 == 0, "chunk must be a multiple of the sublane tile (8)"
     assert tiles_x % quad == 0
     bin_rows = quad == tiles_x
 

@@ -124,11 +124,6 @@ def _prefetch(iterable, depth: int = 2):
 class Engine:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
-        if cfg.steps_per_call > 1 and jax.process_count() > 1:
-            raise ValueError(
-                "steps_per_call > 1 with multi-host input sharding is not "
-                "wired up; use steps_per_call=1 on multi-host slices"
-            )
         # "lite" swaps in the decimated mesh (identical bones/keypoints/
         # spheres, so every loss and metric is unaffected; only the synthetic
         # depth raster sees the smaller triangle set).
@@ -250,10 +245,10 @@ class Engine:
             return state, metrics, vis, _add(sums, metrics)
 
         def real_acc(state, base_key, epoch_it, lr, batch, sums):
-            state, metrics = steps.real_step(
+            state, metrics, vis = steps.real_step(
                 state, _key(base_key, epoch_it), lr, batch
             )
-            return state, metrics, _add(sums, metrics)
+            return state, metrics, vis, _add(sums, metrics)
 
         def combined_scan(state, base_key, epoch, its, lr, batches, sums):
             """K steps per dispatch: ``its`` (K,) global iteration ids,
@@ -366,17 +361,24 @@ class Engine:
         """Pad K host batches, stack them on a NEW leading axis (K, B, ...)
         and upload once — the operand of the steps_per_call scan. The batch
         axis (now axis 1) still shards over the mesh; the scan axis
-        replicates."""
+        replicates. On multi-host slices each process provides its local
+        (K, B_local, ...) stack and the global batch axis concatenates the
+        hosts' rows (tests/test_multihost.py drives this on a 2-process
+        gloo CPU harness)."""
         padded = [self._pad_batch(raw) for raw in raws]
         stacked = RealBatch(*(
             None if leaves[0] is None else np.stack(leaves)
             for leaves in zip(*padded)
         ))
         if jax.process_count() > 1:
-            raise NotImplementedError(
-                "steps_per_call > 1 with multi-host input sharding is not "
-                "wired up; use steps_per_call=1 on multi-host slices"
-            )
+            def put(x):
+                if x is None:
+                    return None
+                return jax.make_array_from_process_local_data(
+                    self._scan_batch_sharding, x
+                )
+
+            return RealBatch(*(put(leaf) for leaf in stacked))
         return jax.device_put(stacked, self._scan_batch_sharding)
 
     # ------------------------------------------------------------- utilities
@@ -614,11 +616,12 @@ class Engine:
                         batch,
                     )[1],
                 )
-            self.state, metrics, sums = self._jit_real_acc(
+            self.state, metrics, vis, sums = self._jit_real_acc(
                 self.state, self.base_key,
                 np.asarray([epoch, it], np.int32), lr, batch, sums,
             )
             if it % 100 == 0:
+                self._dump_real_images(epoch, it, vis)
                 avg = self._fetch_avg(sums, it + 1)
                 dt = time.time() - t0
                 self._log(
@@ -629,6 +632,22 @@ class Engine:
                     {"epoch": epoch, "it": it, "mode": "real", **avg}
                 )
                 t0 = time.time()
+
+    def _dump_real_images(self, epoch: int, it: int, vis: dict) -> None:
+        """Real-train-mode result grid every 100 its (reference dumps
+        (dms, uv_hms, xyz) in ``_epoch_with_real`` Train mode too,
+        engine.py:229-260)."""
+        try:
+            img = viz.result_grid(
+                np.asarray(vis["real_dms"]).reshape(-1, 64, 64)[:6],
+                np.asarray(vis["real_uv_hms"]).reshape(-1, 41, 16, 16)[:6],
+                np.asarray(vis["real_xyz"]).reshape(-1, 41, 3)[:6],
+            )
+            viz.save_image(
+                os.path.join(self.image_dir, f"Train_{epoch}_{it}.jpg"), img
+            )
+        except Exception as exc:  # visualization must never kill training
+            self._log(f"[viz] dump failed: {exc}")
 
     def _dump_train_images(self, epoch: int, it: int, vis: dict) -> None:
         """Real + synthetic result grids (reference engine.py:386-434)."""

@@ -50,8 +50,9 @@ class TrainState:
 class StepFns(NamedTuple):
     init_state: Any          # (key) -> TrainState
     synt_step: Any           # (state, key, lr) -> (state, metrics)
-    combined_step: Any       # (state, key, lr, batch, is_mv) -> (state, metrics)
-    real_step: Any           # (state, key, lr, batch) -> (state, metrics)
+    combined_step: Any       # (state, key, lr, batch, is_mv) -> (state, metrics, vis)
+    combined_grads: Any      # (state, key, batch, is_mv) -> (loss, grads)
+    real_step: Any           # (state, key, lr, batch) -> (state, metrics, vis)
     eval_step: Any           # (params, key, batch) -> metrics dict
     network: Any
 
@@ -171,14 +172,18 @@ def build_steps(
         )
         return state, metrics
 
-    def combined_step(
+    def _combined_grads(
         state: TrainState,
         key: jax.Array,
-        lr: jnp.ndarray,
         batch: RealBatch,
         is_mv: jnp.ndarray,
+        real_aug: bool = True,
     ):
-        """Mixed synthetic + real self-supervised step (engine.py:318-436)."""
+        """Loss + pre-optimizer gradients of the combined objective — the
+        shared core of combined_step, also exposed as StepFns.combined_grads
+        so the data-parallel equivalence tests can compare raw gradients
+        (post-Adam params amplify float-level psum noise through the
+        sign-like first-step update)."""
         k_pose, k_synt, k_rs, k_aug, k_prior = jax.random.split(key, 5)
         pose_params = sample_poses(k_pose, synt_total)
         synt = _shard_synt(synthesize(hand, k_synt, pose_params))
@@ -207,6 +212,7 @@ def build_steps(
                 real_dms=scaled_real,
                 rng=k_aug,
                 train=True,
+                real_aug=real_aug,
             )
             terms, _, new_prev = multitask_loss(
                 loss_cfg,
@@ -227,6 +233,36 @@ def build_steps(
         (loss, (terms, out, new_prev)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        return loss, terms, out, new_prev, grads, synt, scaled_real
+
+    def combined_grads(
+        state: TrainState, key: jax.Array, batch: RealBatch,
+        is_mv: jnp.ndarray, real_aug: bool = True,
+    ):
+        """(loss, grads) of the combined objective — no optimizer update.
+
+        real_aug=False bypasses the resize-crop augmentation: its per-row
+        scale draws are jax.random calls whose COUNT is the (possibly padded)
+        flat batch size, and threefry pairs counters (i, i + n/2), so the
+        same real row draws different randomness at different paddings —
+        padding-equivalence tests must compare the deterministic objective.
+        """
+        loss, _, _, _, grads, _, _ = _combined_grads(
+            state, key, batch, is_mv, real_aug=real_aug
+        )
+        return loss, grads
+
+    def combined_step(
+        state: TrainState,
+        key: jax.Array,
+        lr: jnp.ndarray,
+        batch: RealBatch,
+        is_mv: jnp.ndarray,
+    ):
+        """Mixed synthetic + real self-supervised step (engine.py:318-436)."""
+        loss, terms, out, new_prev, grads, synt, scaled_real = _combined_grads(
+            state, key, batch, is_mv
+        )
         prev_skel, has_prev = new_prev
         if prev_skel is None:
             prev_skel, has_prev = state.prev_skel, state.has_prev
@@ -295,7 +331,14 @@ def build_steps(
         metrics["avg_joint_error"] = average_joint_error(
             batch.gt_joints, out.real_xyz[-1], weights=batch.weights
         )
-        return state, metrics
+        # Visualization payload: the reference dumps (dms, uv_hms, xyz) result
+        # grids every 100 iterations in real-train mode too (engine.py:229-260).
+        vis = {
+            "real_dms": scaled_real,
+            "real_uv_hms": out.real_uv_hms[-1],
+            "real_xyz": out.real_xyz[-1],
+        }
+        return state, metrics, vis
 
     def eval_step(params, key: jax.Array, batch: RealBatch):
         """Evaluation step (engine.py:150-263): losses for logging plus the
@@ -333,6 +376,7 @@ def build_steps(
         init_state=init_state,
         synt_step=synt_step,
         combined_step=combined_step,
+        combined_grads=combined_grads,
         real_step=real_step,
         eval_step=eval_step,
         network=network,

@@ -1,0 +1,119 @@
+"""Child process for the multi-host data-parallel test.
+
+Each of the 2 processes pins 4 forced CPU devices (8 global), joins a
+jax.distributed gloo cluster, builds the real Engine, and drives the
+per-host input-sharding paths with DIFFERENT local data per host:
+
+1. ``_put_batch``: local (B_local, ...) rows -> global batch concatenating
+   the hosts' rows, sharded over the full 8-device mesh; one combined step
+   through the engine's accumulating jit.
+2. ``_put_batches`` (steps_per_call > 1): K local batches stacked to
+   (K, B_local, ...) -> global (K, 2*B_local, ...); K steps scanned in one
+   dispatch through ``_jit_combined_scan``.
+
+Success criteria (asserted here; the parent only checks exit codes + the
+printed loss lines agree across processes):
+- the engine mesh spans all 8 devices across both processes;
+- both paths produce finite, process-identical losses (params are
+  replicated, so the psum-reduced gradients must agree);
+- the scan path continues from the per-step path's state without shape or
+  sharding errors.
+
+Run by tests/test_multihost.py; standalone:
+    python tests/multihost_child.py <pid> <nproc> <port> <tmpdir>
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def main() -> None:
+    pid, nproc, port, tmpdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 4 * nproc
+    assert len(jax.local_devices()) == 4
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+    from spherehand_tpu.train.config import EngineConfig
+    from spherehand_tpu.train.engine import Engine
+
+    cfg = EngineConfig(
+        mode="Train",
+        model_dir=os.path.join(tmpdir, f"runs_{pid}"),
+        dataset_dir=os.path.join(tmpdir, "none"),
+        num_stacks=1,
+        synt_batch=8,
+        real_batch=5,  # local rows; pads 5 -> 8 per host, global batch 16
+        steps_per_call=2,
+        tag=f"mh{pid}_",
+    )
+    engine = Engine(cfg)
+    assert engine._n_devices == 4 * nproc, engine._n_devices
+    assert engine.mesh.devices.size == 4 * nproc
+
+    def fake_raw(seed: int):
+        # DIFFERENT data per host (seed folds in pid): the global batch is
+        # the concatenation of genuinely distinct host shards.
+        rng = np.random.RandomState(seed + 1000 * pid)
+        dms = np.full((5, 3, 64, 64), 100.0, np.float32)
+        dms[:, :, 24:40, 24:40] = rng.uniform(20, 60, (5, 3, 16, 16))
+        return (
+            dms,
+            rng.uniform(-80, 80, (5, 3, 36, 3)).astype(np.float32),
+            np.tile(np.eye(4, dtype=np.float32), (5, 3, 1, 1)),
+            np.tile(np.eye(4, dtype=np.float32), (5, 3, 1, 1)),
+        )
+
+    # --- path 1: per-step (_put_batch + _jit_combined_acc) ----------------
+    batch = engine._put_batch(fake_raw(0))
+    assert batch.dms.shape[0] == 8 * nproc, batch.dms.shape  # global batch
+    assert float(np.asarray(batch.weights).sum()) == 5.0 * nproc
+
+    lr = np.float32(1e-3)
+    sums = engine._metric_zeros(
+        "combined",
+        lambda: jax.eval_shape(
+            engine.steps.combined_step, engine.state, engine.base_key,
+            lr, batch, np.bool_(True),
+        )[1],
+    )
+    engine.state, metrics, _vis, sums = engine._jit_combined_acc(
+        engine.state, engine.base_key, np.asarray([0, 0], np.int32), lr,
+        batch, sums,
+    )
+    loss1 = float(metrics["loss"])
+    assert np.isfinite(loss1)
+    print(f"LOSS_STEP {loss1:.6f}", flush=True)
+
+    # --- path 2: steps_per_call=2 scan (_put_batches + _jit_combined_scan)
+    batches = engine._put_batches([fake_raw(1), fake_raw(2)])
+    assert batches.dms.shape[:2] == (2, 8 * nproc), batches.dms.shape
+    its = np.arange(1, 3, dtype=np.int32)
+    engine.state, metrics, _vis, sums = engine._jit_combined_scan(
+        engine.state, engine.base_key, np.int32(0), its, lr, batches, sums,
+    )
+    loss2 = float(metrics["loss"])
+    assert np.isfinite(loss2)
+    print(f"LOSS_SCAN {loss2:.6f}", flush=True)
+    print("MULTIHOST_OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

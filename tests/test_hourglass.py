@@ -88,3 +88,44 @@ def test_pth_checkpoint_roundtrip(goldens, tmp_path):
     np.testing.assert_allclose(
         np.asarray(outs[1]).transpose(0, 3, 1, 2), g["out1"], atol=2e-3, rtol=1e-3
     )
+
+
+def test_pth_checkpoint_roundtrip_num_stacks_1(goldens, tmp_path):
+    """num_stacks=1 import path (VERDICT r2 #7): the golden's stack-0 weights
+    (stack-1 and the inter-stack connectors dropped) import at num_stacks=1
+    and reproduce the golden's first-stack output — out0 is computed before
+    the inter-stack merge, so it is stack-count-invariant."""
+    torch = __import__("pytest").importorskip("torch")
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from import_torch_checkpoint import import_checkpoint
+
+    from spherehand_tpu.infer import load_params_npz
+
+    g = goldens("hourglass")
+    meta = {"x", "out0", "out1", "latent0", "latent1"}
+
+    def stack1_key(k):
+        head = k.split("/")[:2]
+        return (
+            head[0] in ("fc_", "score_")             # inter-stack connectors
+            or (head[0] in ("hg", "res", "fc", "score") and head[1] == "1")
+        )
+
+    state = {
+        k.replace("/", "."): torch.from_numpy(np.asarray(g[k]))
+        for k in g.files
+        if k not in meta and not stack1_key(k)
+    }
+    pth = tmp_path / "ns1.pth"
+    torch.save(state, str(pth))
+    out_npz = tmp_path / "imported_ns1.npz"
+    import_checkpoint(str(pth), str(out_npz), num_stacks=1)
+    params = load_params_npz(str(out_npz))
+
+    net = HourglassNet(num_stacks=1, num_outputs=82)
+    outs, _ = net.apply({"params": params}, jnp.asarray(g["x"]))
+    assert len(outs) == 1
+    np.testing.assert_allclose(
+        np.asarray(outs[0]).transpose(0, 3, 1, 2), g["out0"], atol=2e-3, rtol=1e-3
+    )

@@ -69,6 +69,10 @@ def convert_hand_model(mesh: dict) -> dict:
         kp_local=np.asarray(kp_local, np.float32),
         kp_bone=np.asarray(kp_bone, np.int32),
         kp_radius=np.asarray(kp_radius, np.float32),
+        # Rasterizer truncation bound (see HandModel.raster_valid_frac):
+        # max nondump fraction 48.8% over 1,024,000 sampler poses incl.
+        # RandScale + focal jitter (tests/test_raster_pallas.py sweeps it).
+        raster_valid_frac=np.float32(0.62),
     )
 
 

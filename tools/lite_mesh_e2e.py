@@ -6,10 +6,16 @@ estimator trained on lite renders matches one trained on full renders when
 BOTH are evaluated on full-mesh held-out renders (the "real" distribution
 stand-in). Run both arms and compare.
 
-Usage: python tools/lite_mesh_e2e.py [steps=10000] [arms=lite,full]
+Usage: python tools/lite_mesh_e2e.py [--steps N] [--arms lite,full]
+                                     [--artifact PATH]
+
+The committed golden (tests/goldens/lite_mesh_e2e.json) is the 75k-step
+convergence artifact; --artifact defaults to runs/lite_mesh_e2e.json and the
+tool refuses to overwrite the golden with a shorter run.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -37,18 +43,38 @@ from spherehand_tpu.train.steps import build_steps
 
 
 def train_arm(mesh: str, steps_n: int):
-    """Train `steps_n` synthetic steps on the given mesh; return params."""
+    """Train `steps_n` synthetic steps on the given mesh; return params.
+
+    100 steps are scanned per dispatch with the key chain
+    (``jax.random.key(i + 1)``) and StepLR-thirds values derived inside the
+    scan exactly as the former per-step loop derived them — bit-identical
+    training, but the wall time no longer measures the tunnel's volatile
+    per-dispatch latency (CLAUDE.md), which once recorded lite as "2x slower
+    to train" purely from a degraded-dispatch window.
+    """
     cfg = EngineConfig(num_stacks=1, mesh=mesh)
     hand = load_hand_model(lite=mesh == "lite")
     steps = build_steps(cfg, hand)
     state = steps.init_state(jax.random.key(0))
-    step = jax.jit(steps.synt_step, donate_argnums=0)
+
+    K = 100
+    while steps_n % K:
+        K -= 1
+
+    def k_steps(state, idx):
+        def body(st, i):
+            lr = jnp.where(i < steps_n // 3, jnp.float32(1e-3),
+                           jnp.where(i < (2 * steps_n) // 3, jnp.float32(1e-4),
+                                     jnp.float32(1e-5)))
+            st, metrics = steps.synt_step(st, jax.random.key(i + 1), lr)
+            return st, None
+        st, _ = jax.lax.scan(body, state, idx)
+        return st
+
+    k_steps = jax.jit(k_steps, donate_argnums=0)
     t0 = time.perf_counter()
-    for i in range(steps_n):
-        # StepLR thirds like the full pretraining schedule, scaled down.
-        lr = jnp.asarray(1e-3 if i < steps_n // 3 else
-                         1e-4 if i < 2 * steps_n // 3 else 1e-5)
-        state, metrics = step(state, jax.random.key(i + 1), lr)
+    for start in range(0, steps_n, K):
+        state = k_steps(state, jnp.arange(start, start + K, dtype=jnp.int32))
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
     print(f"[{mesh}] {steps_n} steps in {dt:.0f}s ({steps_n / dt:.1f} steps/s)",
@@ -74,9 +100,26 @@ def eval_on_full(params, num_samples: int = 2048, batch: int = 128) -> float:
     return float(np.concatenate(errs).mean())
 
 
+GOLDEN = os.path.abspath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..",
+    "tests", "goldens", "lite_mesh_e2e.json"))
+
+
 def main() -> None:
-    steps_n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-    arms = (sys.argv[2] if len(sys.argv) > 2 else "lite,full").split(",")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10_000)
+    ap.add_argument("--arms", default="lite,full")
+    ap.add_argument("--artifact", default=os.path.join("runs", "lite_mesh_e2e.json"),
+                    help="output path; pass the tests/goldens path explicitly "
+                         "(only accepted for runs >= 50k steps) to refresh "
+                         "the committed convergence golden")
+    args = ap.parse_args()
+    steps_n = args.steps
+    arms = args.arms.split(",")
+    art = os.path.abspath(args.artifact)
+    if art == GOLDEN and steps_n < 50_000:
+        sys.exit("refusing to overwrite the 75k-step convergence golden with "
+                 f"a {steps_n}-step run; use --artifact elsewhere")
     result = {"steps": steps_n}
     for mesh in arms:
         params, dt = train_arm(mesh, steps_n)
@@ -84,8 +127,7 @@ def main() -> None:
         print(f"[{mesh}] held-out joint error on FULL-mesh renders: {err:.2f} mm",
               flush=True)
         result[mesh] = {"train_secs": round(dt, 1), "heldout_mm": round(err, 3)}
-    art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                       "tests", "goldens", "lite_mesh_e2e.json")
+    os.makedirs(os.path.dirname(art), exist_ok=True)
     with open(art, "w") as f:
         json.dump(result, f, indent=1)
     print("wrote", art)

@@ -97,6 +97,9 @@ def main() -> None:
     for k in src.files:
         if k not in out and k != "skin_matrix":
             out[k] = src[k]
+    # Lite-mesh truncation bound (see HandModel.raster_valid_frac): max
+    # nondump fraction 53.9% over 131k poses, swept in tests.
+    out["raster_valid_frac"] = np.float32(0.70)
 
     path = args.out or os.path.join(asset_dir, "hand_model_lite.npz")
     np.savez_compressed(path, **out)
