@@ -84,7 +84,12 @@ def main() -> None:
     # --- path 1: per-step (_put_batch + _jit_combined_acc) ----------------
     batch = engine._put_batch(fake_raw(0))
     assert batch.dms.shape[0] == 8 * nproc, batch.dms.shape  # global batch
-    assert float(np.asarray(batch.weights).sum()) == 5.0 * nproc
+    # a multi-host global array is not directly fetchable; check the local
+    # shards: this host contributed its 5 real rows + 3 zero-weight pads
+    local_w = np.concatenate(
+        [np.asarray(s.data) for s in batch.weights.addressable_shards]
+    )
+    assert local_w.shape == (8,) and float(local_w.sum()) == 5.0, local_w
 
     lr = np.float32(1e-3)
     sums = engine._metric_zeros(
