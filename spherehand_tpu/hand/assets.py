@@ -43,6 +43,12 @@ class HandModel:
     kp_local: jnp.ndarray      # (41, 4) sphere centers in rest pose (homogeneous)
     kp_bone: jnp.ndarray       # (41,) int32 owning bone per sphere
     kp_radius: jnp.ndarray     # (41,) sphere radii, mm
+    # (68, 3*F) = skin_matrix[:, faces.flat]: LBS directly in FACE-VERTEX
+    # order. The mesh is a near-soup (V ~ 3F), so the former per-image
+    # projected[:, faces.flat] gather cost ~1.5 ms/call at B=1024 — baking
+    # the permutation into the matmul columns makes face assembly a free
+    # reshape (bit-identical: each output column's dot product is unchanged).
+    skin_matrix_faces: jnp.ndarray = None
     right_hand: bool = struct.field(pytree_node=False, default=True)
     # Validated rasterizer truncation bound for THIS mesh (fraction of faces
     # the sorted record buffer keeps; see raster_pallas.nondump_counts). It is
@@ -104,7 +110,11 @@ def load_hand_model(
         faces = faces[:, [1, 0, 2]]
     offset = raw["offset_mats"].astype(np.float32)
     weights = raw["skin_weights"].astype(np.float32)
+    flat = faces.reshape(-1)
     return HandModel(
+        skin_matrix_faces=jnp.asarray(
+            _fuse_skin_matrix(weights[:, flat], vertices[flat]), dtype
+        ),
         vertices=jnp.asarray(vertices, dtype),
         faces=jnp.asarray(faces),
         offset_mats=jnp.asarray(offset, dtype),

@@ -40,6 +40,26 @@ def lbs_mesh(model: HandModel, transforms: jnp.ndarray) -> jnp.ndarray:
     return skinned
 
 
+def lbs_faces(model: HandModel, transforms: jnp.ndarray) -> jnp.ndarray:
+    """Skin the mesh directly in FACE-VERTEX order: (B, 17, 4, 4) -> (B, 3F, 4).
+
+    Identical math to ``lbs_mesh(model, t)[:, faces.flat]`` (each output
+    column's 68-term dot product is the same sequence of adds), but the
+    per-vertex gather is baked into the precomputed ``skin_matrix_faces``
+    columns, so face assembly downstream is a free reshape — the gather +
+    layout copies cost ~1.5 ms/call at B=1024 on the render path.
+    """
+    batch = transforms.shape[0]
+    t_flat = transforms.transpose(0, 2, 1, 3).reshape(batch * 4, -1)
+    skinned = jnp.matmul(
+        t_flat, model.skin_matrix_faces, precision=_HIGHEST
+    ).reshape(batch, 4, -1)
+    skinned = skinned.transpose(0, 2, 1)  # (B, 3F, 4)
+    if model.right_hand:
+        skinned = skinned.at[..., 0].multiply(-1.0)
+    return skinned
+
+
 def lbs_keypoints(model: HandModel, transforms: jnp.ndarray) -> jnp.ndarray:
     """Skin the 41 sphere centers. transforms (B, 17, 4, 4) -> (B, 41, 4).
 
@@ -97,6 +117,25 @@ def orthographic_project(
         u = x * fx + c
         v = y * fx + c
     return jnp.stack([u, v, z, jnp.ones_like(z)], axis=-1)
+
+
+def orthographic_project_xyz(
+    points: jnp.ndarray, size: float, rand_f: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """:func:`orthographic_project` without the homogeneous-one column:
+    (B, N, 4) -> (B, N, 3) [u, v, z]. Same u/v/z formulas bit for bit; the
+    render path never reads w, so skipping it saves a (B, N) column write."""
+    fx = size / 300.0
+    c = size / 2.0
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    if rand_f is not None:
+        f = rand_f[:, None] * fx
+        u = x * f + c
+        v = y * f + c
+    else:
+        u = x * fx + c
+        v = y * fx + c
+    return jnp.stack([u, v, z], axis=-1)
 
 
 def inverse_orthographic(uvd: jnp.ndarray, size: float) -> jnp.ndarray:

@@ -41,7 +41,12 @@ import jax.numpy as jnp
 
 from spherehand_tpu.constants import Constants
 from spherehand_tpu.hand.assets import HandModel
-from spherehand_tpu.hand.skinning import lbs_mesh, orthographic_project
+from spherehand_tpu.hand.skinning import (
+    lbs_faces,
+    lbs_mesh,
+    orthographic_project,
+    orthographic_project_xyz,
+)
 
 _C = Constants()
 
@@ -227,9 +232,17 @@ def render_depth_64(
     at ~1/3 the coverage math (the training-data production default).
     """
     scale = _C.raster_size // out_size
-    verts = lbs_mesh(model, transforms)  # (B, V, 4)
-    projected = orthographic_project(verts, float(_C.raster_size), rand_f)
-    face_verts = projected[:, model.faces.reshape(-1), :3]
+    if model.skin_matrix_faces is not None:
+        # Face assembly baked into the LBS matmul columns (see lbs_faces):
+        # identical math to gather-after-project, no (B, V) -> (B, 3F) gather.
+        verts = lbs_faces(model, transforms)  # (B, 3F, 4)
+        face_verts = orthographic_project_xyz(
+            verts, float(_C.raster_size), rand_f
+        )
+    else:
+        verts = lbs_mesh(model, transforms)  # (B, V, 4)
+        projected = orthographic_project(verts, float(_C.raster_size), rand_f)
+        face_verts = projected[:, model.faces.reshape(-1), :3]
     face_verts = face_verts.reshape(transforms.shape[0], model.num_faces, 3, 3)
     samples = jnp.asarray(bilinear_sample_positions(out_size, scale))
     if backend == "auto":

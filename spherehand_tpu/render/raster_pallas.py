@@ -412,9 +412,21 @@ def _raster_kernel_fast(
                 def col(k):
                     return f[:, k][:, None]  # (CHUNK, 1), broadcasts over lanes
 
-                if stub:  # diagnostic: identical loops/reads, compute removed
+                if stub == "min":
+                    # diagnostic: identical loops/reads, compute removed
                     return jnp.minimum(
                         zbuf, jnp.min(col(0) + x, axis=0, keepdims=True)
+                    )
+                if stub == "cols":
+                    # diagnostic: all 9 field loads/broadcasts + the 6 fma,
+                    # but none of the tail ops (w2, cover, reciprocal, select)
+                    s = (
+                        col(0) * x + col(1) * y + col(2)
+                        + col(3) * x + col(4) * y + col(5)
+                        + col(6) * x + col(7) * y + col(8)
+                    )
+                    return jnp.minimum(
+                        zbuf, jnp.min(s, axis=0, keepdims=True)
                     )
 
                 w0 = col(0) * x + col(1) * y + col(2)
@@ -610,6 +622,8 @@ def rasterize_depth_binned(
     assert sample_x.shape[0] == tiles_x * TILE_S
     assert sample_y.shape[0] == tiles_y * TILE_S
     num_tiles = tiles_x * tiles_y
+    if _diag_stub is True:  # back-compat: bool selects the minimal stub
+        _diag_stub = "min"
 
     # Full-tile-row quads only ever consume row-pair face windows, so bin at
     # tile-ROW granularity when the quad spans a full row (smaller histogram,

@@ -8,9 +8,11 @@ from spherehand_tpu.hand.kinematics import forward_kinematics, rotation_about_ax
 from spherehand_tpu.hand.skinning import (
     apply_random_scale,
     inverse_orthographic,
+    lbs_faces,
     lbs_keypoints,
     lbs_mesh,
     orthographic_project,
+    orthographic_project_xyz,
 )
 
 
@@ -78,3 +80,22 @@ def test_random_scale_range_and_application(hand_model):
     # Same scale premultiplied on every bone of a batch element.
     s = np.asarray(scaled)
     np.testing.assert_allclose(s[:, 3, [0, 1, 2], [0, 1, 2]], diag, atol=1e-6)
+
+
+def test_lbs_faces_matches_gather_path(hand_model):
+    """Fused face-order LBS == lbs_mesh + faces gather (same dot products)."""
+    rng = np.random.RandomState(3)
+    pose = jnp.asarray(rng.uniform(-0.4, 0.4, (2, 26)).astype(np.float32))
+    transforms = forward_kinematics(hand_model, pose)
+    via_gather = lbs_mesh(hand_model, transforms)[
+        :, hand_model.faces.reshape(-1)
+    ]
+    fused = lbs_faces(hand_model, transforms)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(via_gather), atol=1e-4, rtol=1e-6
+    )
+    # Projection without the homogeneous column matches bit for bit.
+    rand_f = jnp.asarray(rng.uniform(0.9, 1.1, (2,)).astype(np.float32))
+    ref = orthographic_project(via_gather, 640.0, rand_f)[..., :3]
+    got = orthographic_project_xyz(fused, 640.0, rand_f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)

@@ -60,7 +60,7 @@ def main():
             pool_clamp=100.0, bilinear_grid=(64, 10), _diag_stub=stub,
         )
         jax.block_until_ready(fn(fvs[0], samples, samples))
-        outdir = f"/tmp/diag_kernel_{'stub' if stub else 'real'}"
+        outdir = f"/tmp/diag_kernel_{stub if stub else 'real'}"
         with jax.profiler.trace(outdir):
             for fv in fvs:
                 out = fn(fv, samples, samples)
@@ -83,10 +83,14 @@ def main():
         return kern / 1e3 / len(fvs)
 
     real = kernel_device_ms(False)
-    stub = kernel_device_ms(True)
-    print(f"batch {batch}: kernel device time real {real:.2f} ms/call, "
-          f"stub {stub:.2f} ms/call -> VPU compute ~{(real-stub)/real*100:.0f}%, "
-          f"loop/read overhead ~{stub/real*100:.0f}%")
+    stub_min = kernel_device_ms("min")
+    stub_cols = kernel_device_ms("cols")
+    print(f"batch {batch}: kernel device ms/call: real {real:.2f}, "
+          f"cols-stub {stub_cols:.2f} (all 9 field broadcasts + 6 fma), "
+          f"min-stub {stub_min:.2f} (loops + 1 field + reduce)")
+    print(f"  -> tail ops (w2/cover/recip/select): {real - stub_cols:.2f} ms; "
+          f"field loads+fma: {stub_cols - stub_min:.2f} ms; "
+          f"loop/reduce floor: {stub_min:.2f} ms")
 
 
 if __name__ == "__main__":
