@@ -367,6 +367,18 @@ def _quad_ranges(starts_ref, row, q, tiles_x, num_buckets, quad, chunk,
     return [pre(rs_a, re_a), pre(rs_b, re_b), pre(*over)]
 
 
+def _fold8(depth: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """(chunk, lanes) -> (8, lanes) min over whole sublane groups.
+
+    Exact: min is associative and commutative (and never sees NaN here —
+    records are sanitized), so folding to 8 partial rows per chunk and
+    deferring the expensive cross-sublane shuffle reduce to once per quad
+    computes the identical z-buffer."""
+    if chunk == 8:
+        return depth
+    return jnp.min(depth.reshape(chunk // 8, 8, depth.shape[-1]), axis=0)
+
+
 def _raster_kernel_fast(
     starts_ref,  # (8, NTpad) int32 bucket offsets, 8 images/block (SMEM)
     xcoord_ref,  # (NT/quad, quad*64) per-quad sample x (full array in VMEM)
@@ -408,16 +420,18 @@ def _raster_kernel_fast(
             def chunk_fast(i, zbuf):
                 off = pl.multiple_of(aligned_rs + i * chunk, 8)
                 f = fdata_ref[0, pl.ds(off, chunk), :]  # (chunk, FREC_F)
+                # (A software-pipelined variant carrying chunk i+1's load
+                # through the loop measured WORSE — 13.1 vs 12.5 ms at
+                # B=1024 — the extra live block outweighs any load-latency
+                # hiding, so loads stay in-iteration.)
 
                 def col(k):
                     return f[:, k][:, None]  # (CHUNK, 1), broadcasts over lanes
 
                 if stub == "min":
                     # diagnostic: identical loops/reads, compute removed
-                    return jnp.minimum(
-                        zbuf, jnp.min(col(0) + x, axis=0, keepdims=True)
-                    )
-                if stub == "cols":
+                    return jnp.minimum(zbuf, _fold8(col(0) + x, chunk))
+                elif stub == "cols":
                     # diagnostic: all 9 field loads/broadcasts + the 6 fma,
                     # but none of the tail ops (w2, cover, reciprocal, select)
                     s = (
@@ -425,9 +439,7 @@ def _raster_kernel_fast(
                         + col(3) * x + col(4) * y + col(5)
                         + col(6) * x + col(7) * y + col(8)
                     )
-                    return jnp.minimum(
-                        zbuf, jnp.min(s, axis=0, keepdims=True)
-                    )
+                    return jnp.minimum(zbuf, _fold8(s, chunk))
 
                 w0 = col(0) * x + col(1) * y + col(2)
                 w1 = col(3) * x + col(4) * y + col(5)
@@ -439,7 +451,10 @@ def _raster_kernel_fast(
                 # Approximate reciprocal: ~2^-12 relative = ~0.02 mm at hand
                 # depths — far below the sensor noise the synthesizer adds.
                 depth = jnp.where(cover, pl.reciprocal(qd, approx=True), 1000.0)
-                return jnp.minimum(zbuf, jnp.min(depth, axis=0, keepdims=True))
+                # Deferred reduction: fold only to 8 sublanes here (cheap
+                # block mins); the cross-sublane shuffle reduce runs ONCE per
+                # quad on the accumulated (8, lanes) zbuf, not per chunk.
+                return jnp.minimum(zbuf, _fold8(depth, chunk))
 
             return jax.lax.fori_loop(0, n_chunks, chunk_fast, zbuf)
 
@@ -450,10 +465,10 @@ def _raster_kernel_fast(
         if bin_rows:
             # Empty ranges have n_chunks == 0: the fori_loops fall through,
             # and the single unconditional write stores the 1000 background.
-            zbuf = jnp.full((1, lanes), 1000.0, jnp.float32)
+            zbuf = jnp.full((8, lanes), 1000.0, jnp.float32)
             for w in wins:
                 zbuf = process_range(w, zbuf)
-            out_ref[0, q, :] = zbuf[0]
+            out_ref[0, q, :] = jnp.min(zbuf, axis=0)
             return 0
 
         out_ref[0, q, :] = jnp.full((lanes,), 1000.0, jnp.float32)
@@ -463,10 +478,10 @@ def _raster_kernel_fast(
 
         @pl.when(work)
         def _():
-            zbuf = jnp.full((1, lanes), 1000.0, jnp.float32)
+            zbuf = jnp.full((8, lanes), 1000.0, jnp.float32)
             for w in wins:
                 zbuf = process_range(w, zbuf)
-            out_ref[0, q, :] = zbuf[0]
+            out_ref[0, q, :] = jnp.min(zbuf, axis=0)
 
         return 0
 
@@ -542,7 +557,7 @@ def _raster_kernel_exact(
                     & ~jnp.isnan(depth)
                 )
                 depth = jnp.where(cover, depth, 1000.0)  # (CHUNK, lanes)
-                return jnp.minimum(zbuf, jnp.min(depth, axis=0, keepdims=True))
+                return jnp.minimum(zbuf, _fold8(depth, chunk))
 
             return jax.lax.fori_loop(0, n_chunks, chunk_exact, zbuf)
 
@@ -551,10 +566,10 @@ def _raster_kernel_exact(
         )
 
         if bin_rows:
-            zbuf = jnp.full((1, lanes), 1000.0, jnp.float32)
+            zbuf = jnp.full((8, lanes), 1000.0, jnp.float32)
             for w in wins:
                 zbuf = process_range(w, zbuf)
-            out_ref[0, q, :] = zbuf[0]
+            out_ref[0, q, :] = jnp.min(zbuf, axis=0)
             return 0
 
         out_ref[0, q, :] = jnp.full((lanes,), 1000.0, jnp.float32)
@@ -564,10 +579,10 @@ def _raster_kernel_exact(
 
         @pl.when(work)
         def _():
-            zbuf = jnp.full((1, lanes), 1000.0, jnp.float32)
+            zbuf = jnp.full((8, lanes), 1000.0, jnp.float32)
             for w in wins:
                 zbuf = process_range(w, zbuf)
-            out_ref[0, q, :] = zbuf[0]
+            out_ref[0, q, :] = jnp.min(zbuf, axis=0)
 
         return 0
 

@@ -42,7 +42,7 @@ from spherehand_tpu.train.config import EngineConfig
 from spherehand_tpu.train.steps import build_steps
 
 
-def train_arm(mesh: str, steps_n: int):
+def train_arm(mesh: str, steps_n: int, bf16: bool = False):
     """Train `steps_n` synthetic steps on the given mesh; return params.
 
     100 steps are scanned per dispatch with the key chain
@@ -52,7 +52,7 @@ def train_arm(mesh: str, steps_n: int):
     per-dispatch latency (CLAUDE.md), which once recorded lite as "2x slower
     to train" purely from a degraded-dispatch window.
     """
-    cfg = EngineConfig(num_stacks=1, mesh=mesh)
+    cfg = EngineConfig(num_stacks=1, mesh=mesh, bf16=bf16)
     hand = load_hand_model(lite=mesh == "lite")
     steps = build_steps(cfg, hand)
     state = steps.init_state(jax.random.key(0))
@@ -121,12 +121,16 @@ def main() -> None:
         sys.exit("refusing to overwrite the 75k-step convergence golden with "
                  f"a {steps_n}-step run; use --artifact elsewhere")
     result = {"steps": steps_n}
-    for mesh in arms:
-        params, dt = train_arm(mesh, steps_n)
+    for arm in arms:
+        # Arm syntax: "lite", "full", or "<mesh>_bf16" (bf16 conv compute —
+        # the convergence A/B for the recommended training dtype).
+        mesh, _, suffix = arm.partition("_")
+        bf16 = suffix == "bf16"
+        params, dt = train_arm(mesh, steps_n, bf16=bf16)
         err = eval_on_full(params, num_samples=2048)
-        print(f"[{mesh}] held-out joint error on FULL-mesh renders: {err:.2f} mm",
+        print(f"[{arm}] held-out joint error on FULL-mesh renders: {err:.2f} mm",
               flush=True)
-        result[mesh] = {"train_secs": round(dt, 1), "heldout_mm": round(err, 3)}
+        result[arm] = {"train_secs": round(dt, 1), "heldout_mm": round(err, 3)}
     os.makedirs(os.path.dirname(art), exist_ok=True)
     with open(art, "w") as f:
         json.dump(result, f, indent=1)
