@@ -60,6 +60,46 @@ def lbs_faces(model: HandModel, transforms: jnp.ndarray) -> jnp.ndarray:
     return skinned
 
 
+def project_faces_planes(
+    model: HandModel,
+    transforms: jnp.ndarray,
+    size: float,
+    rand_f: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused LBS + orthographic projection in face-vertex order.
+
+    Returns (u, v, z), each (B, 3F). The orthographic projection
+    (u = x*f + c with w == 1; reference mesh/pointTransformation.py:69-99)
+    is affine in homogeneous coordinates, so it folds into the per-batch
+    bone-transform rows BEFORE the big skinning matmul: a tiny
+    (B, 3, 68) = P @ T contraction followed by ONE
+    (B, 3, 68) @ (68, 3F) matmul emits the projected planes directly —
+    no (B, 3F, 4) intermediate, no transpose, no homogeneous column, 25%
+    less matmul than skinning all four rows. The right-hand x negation
+    (pointTransformation.py:44-45) folds into the u row's sign.
+
+    Not bit-identical to lbs_faces + orthographic_project (the f*x scaling
+    associates differently, ~1e-5 relative), so CUDA-parity comparisons
+    should keep the unfused path; this is the production fast front end.
+    """
+    batch = transforms.shape[0]
+    t = transforms.transpose(0, 2, 1, 3).reshape(batch, 4, -1)  # (B, 4, 68)
+    fx = size / 300.0
+    c = size / 2.0
+    f = rand_f[:, None] * fx if rand_f is not None else jnp.full(
+        (batch, 1), fx, transforms.dtype
+    )
+    sx = -f if model.right_hand else f
+    a = jnp.stack(
+        [sx * t[:, 0] + c * t[:, 3], f * t[:, 1] + c * t[:, 3], t[:, 2]],
+        axis=1,
+    )  # (B, 3, 68)
+    planes = jnp.matmul(
+        a, model.skin_matrix_faces, precision=_HIGHEST
+    )  # (B, 3, 3F)
+    return planes[:, 0], planes[:, 1], planes[:, 2]
+
+
 def lbs_keypoints(model: HandModel, transforms: jnp.ndarray) -> jnp.ndarray:
     """Skin the 41 sphere centers. transforms (B, 17, 4, 4) -> (B, 41, 4).
 

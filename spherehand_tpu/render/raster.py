@@ -46,6 +46,7 @@ from spherehand_tpu.hand.skinning import (
     lbs_mesh,
     orthographic_project,
     orthographic_project_xyz,
+    project_faces_planes,
 )
 
 _C = Constants()
@@ -209,6 +210,25 @@ def bilinear_sample_positions(out_size: int, scale: int) -> np.ndarray:
     return np.stack([base, base + 1], axis=1).reshape(-1).astype(np.float32)
 
 
+def _assemble_face_verts(
+    model: HandModel, transforms: jnp.ndarray, rand_f: jnp.ndarray | None
+) -> jnp.ndarray:
+    """LBS + project + face assembly -> (B, F, 3, 3) [u, v, z] per vertex.
+
+    Uses the fused face-order LBS when the asset provides it (identical
+    math to gather-after-project); the CUDA-parity-comparable front end."""
+    if model.skin_matrix_faces is not None:
+        verts = lbs_faces(model, transforms)  # (B, 3F, 4)
+        face_verts = orthographic_project_xyz(
+            verts, float(_C.raster_size), rand_f
+        )
+    else:
+        verts = lbs_mesh(model, transforms)  # (B, V, 4)
+        projected = orthographic_project(verts, float(_C.raster_size), rand_f)
+        face_verts = projected[:, model.faces.reshape(-1), :3]
+    return face_verts.reshape(transforms.shape[0], model.num_faces, 3, 3)
+
+
 def render_depth_64(
     model: HandModel,
     transforms: jnp.ndarray,
@@ -232,18 +252,6 @@ def render_depth_64(
     at ~1/3 the coverage math (the training-data production default).
     """
     scale = _C.raster_size // out_size
-    if model.skin_matrix_faces is not None:
-        # Face assembly baked into the LBS matmul columns (see lbs_faces):
-        # identical math to gather-after-project, no (B, V) -> (B, 3F) gather.
-        verts = lbs_faces(model, transforms)  # (B, 3F, 4)
-        face_verts = orthographic_project_xyz(
-            verts, float(_C.raster_size), rand_f
-        )
-    else:
-        verts = lbs_mesh(model, transforms)  # (B, V, 4)
-        projected = orthographic_project(verts, float(_C.raster_size), rand_f)
-        face_verts = projected[:, model.faces.reshape(-1), :3]
-    face_verts = face_verts.reshape(transforms.shape[0], model.num_faces, 3, 3)
     samples = jnp.asarray(bilinear_sample_positions(out_size, scale))
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "xla"
@@ -251,6 +259,19 @@ def render_depth_64(
         from spherehand_tpu.render.raster_pallas import rasterize_depth_binned
 
         tiles = (2 * out_size) // 8
+        if model.skin_matrix_faces is not None:
+            # Gather-free front end: projection folded into the LBS matmul
+            # (skinning.project_faces_planes), coordinate planes fed
+            # straight to the column-wise binning pre-pass — no (B, 3F, 4)
+            # or (B, F, 3, 3) intermediate is ever materialized.
+            planes = project_faces_planes(
+                model, transforms, float(_C.raster_size), rand_f
+            )
+            face_verts, planes_in = None, planes
+        else:
+            face_verts, planes_in = _assemble_face_verts(
+                model, transforms, rand_f
+            ), None
         # The truncation bound is a measured per-mesh property shipped in the
         # asset npz (full mesh 0.62: max nondump 48.8% over 1,024,000 sampler
         # poses incl. RandScale + focal jitter; lite mesh 0.70: max 53.9%
@@ -265,7 +286,9 @@ def render_depth_64(
             pool_clamp=float(_C.background_depth),
             bilinear_grid=(out_size, scale),
             chunk_override=chunk_override,
+            planes=planes_in,
         )
+    face_verts = _assemble_face_verts(model, transforms, rand_f)
     zbuf = rasterize_depth(
         face_verts, samples, samples,
         width=_C.raster_size, height=_C.raster_size,

@@ -135,6 +135,65 @@ def face_setup_fast(face_vertices: jnp.ndarray):
     return p, face_inv, front & nondegenerate
 
 
+def _face_columns(face_vertices=None, planes=None):
+    """Per-vertex coordinate columns (x, y, z) — each a 3-list of (B, F).
+
+    ``planes`` is the gather-free front end: (u, v, z) each (B, 3F) in
+    face-vertex order straight out of the fused LBS+projection matmul
+    (skinning.project_faces_planes). Deriving columns from either input is
+    pure slicing — no (B, F, 3, 3) tensor is ever materialized on this
+    path (its layout copies cost ~3 ms/call at B=1024 on the full mesh)."""
+    if planes is not None:
+        u, v, z = planes
+        batch, three_f = u.shape
+        nf = three_f // 3
+
+        def cols(a):
+            a3 = a.reshape(batch, nf, 3)
+            return [a3[..., 0], a3[..., 1], a3[..., 2]]
+
+        return cols(u), cols(v), cols(z)
+    x = face_vertices[..., 0]
+    y = face_vertices[..., 1]
+    z = face_vertices[..., 2]
+    return (
+        [x[..., 0], x[..., 1], x[..., 2]],
+        [y[..., 0], y[..., 1], y[..., 2]],
+        [z[..., 0], z[..., 1], z[..., 2]],
+    )
+
+
+def _face_setup_cols(xc, yc, zc):
+    """Select-based vertex sort + validity from coordinate columns.
+
+    Identical math to :func:`face_setup_fast` (same CUDA tie rules,
+    .cu:38-45, same front-face/degeneracy tests) but operating on (B, F)
+    columns throughout. Returns (px, py, pz) — 3-lists of SORTED columns —
+    and the valid mask."""
+    x0, x1, x2 = xc
+    y0, y1, y2 = yc
+    z0, z1, z2 = zc
+    front = (y2 - y0) * (x1 - x0) >= (y1 - y0) * (x2 - x0)
+
+    c01 = x0 < x1
+    pi0 = jnp.where(c01, jnp.where(x2 < x0, 2, 0), jnp.where(x2 < x1, 2, 1))
+    pi2 = jnp.where(c01, jnp.where(x1 < x2, 2, 1), jnp.where(x0 < x2, 2, 0))
+    pi1 = 3 - pi0 - pi2
+
+    def pick(idx, c0, c1, c2):
+        return jnp.where(idx == 0, c0, jnp.where(idx == 1, c1, c2))
+
+    px = [pick(pi, x0, x1, x2) for pi in (pi0, pi1, pi2)]
+    py = [pick(pi, y0, y1, y2) for pi in (pi0, pi1, pi2)]
+    pz = [pick(pi, z0, z1, z2) for pi in (pi0, pi1, pi2)]
+
+    den = px[2] * (py[0] - py[1]) + px[0] * (py[1] - py[2]) + px[1] * (
+        py[2] - py[0]
+    )
+    nondegenerate = (px[0] != px[2]) & (den != 0.0)
+    return px, py, pz, front & nondegenerate
+
+
 def _barycentric_rows(px, py):
     """Inverse-matrix rows (each a 3-list [x-coef, y-coef, const]) and the
     safe determinant from per-vertex coordinate columns (each (B, K))."""
@@ -226,9 +285,11 @@ def _paired_grid_searchsorted(v, side: str, n_out: int, scale: int):
     return jnp.clip(ca, 0, n_out) + jnp.clip(cb, 0, n_out)
 
 
-def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height,
-               rows: bool = False, bilinear_grid: tuple[int, int] | None = None):
-    """Single low-corner bin key per face.
+def _bin_faces(px, py, valid, sample_x, sample_y, tiles_x, tiles_y, width,
+               height, rows: bool = False,
+               bilinear_grid: tuple[int, int] | None = None):
+    """Single low-corner bin key per face (px/py: sorted coordinate columns,
+    3-lists of (B, F) from :func:`_face_setup_cols`).
 
     rows=False: tile-granular keys (num_buckets = tiles_x * tiles_y); a face
     whose bbox spans more than 2x2 tiles goes to overflow.
@@ -244,11 +305,11 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height,
     num_buckets = 2 * tiles_y if rows else tiles_x * tiles_y
     overflow, dump = num_buckets, num_buckets + 1
 
-    px = p[..., 0]
-    py = p[..., 1]
-    xmin, xmax = px[..., 0], px[..., 2]
-    ymin = jnp.min(py, axis=-1)
-    ymax = jnp.max(py, axis=-1)
+    px0, px1, px2 = px
+    py0, py1, py2 = py
+    xmin, xmax = px0, px2
+    ymin = jnp.minimum(jnp.minimum(py0, py1), py2)
+    ymax = jnp.maximum(jnp.maximum(py0, py1), py2)
 
     # CUDA column-0 quirk (.cu:68-69): xi_max casts min(p2x, W-1) with C
     # trunc-toward-zero, so a face entirely left of the canvas with
@@ -258,8 +319,6 @@ def _bin_faces(p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height,
     # face in row buckets that never cover those samples (found by the .cu
     # derivation audit; tests/test_raster_adversarial.py pins it). Extend the
     # bbox by the column-0 scanline bounds for exactly those faces.
-    px0, px1, px2 = px[..., 0], px[..., 1], px[..., 2]
-    py0, py1, py2 = py[..., 0], py[..., 1], py[..., 2]
     quirk = (xmax < 0.0) & (xmax > -1.0)
     dx12 = px2 - px1
     y12 = jnp.where(
@@ -318,9 +377,10 @@ def nondump_counts(face_vertices, sample_x, sample_y, tiles_x=16, tiles_y=16,
                    width=640, height=640) -> jnp.ndarray:
     """Per-image count of faces the kernel windows can address (all faces not
     in the dump bucket). Used to validate a ``valid_frac`` truncation margin."""
-    p, _, valid = face_setup_fast(face_vertices)
+    xc, yc, zc = _face_columns(face_vertices)
+    px, py, _, valid = _face_setup_cols(xc, yc, zc)
     keys, num_tiles, _ = _bin_faces(
-        p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height
+        px, py, valid, sample_x, sample_y, tiles_x, tiles_y, width, height
     )
     return jnp.sum(keys != num_tiles + 1, axis=-1)
 
@@ -598,7 +658,7 @@ def _raster_kernel_exact(
     ),
 )
 def rasterize_depth_binned(
-    face_vertices: jnp.ndarray,
+    face_vertices: jnp.ndarray | None,
     sample_x: jnp.ndarray,
     sample_y: jnp.ndarray,
     width: int = 640,
@@ -613,6 +673,7 @@ def rasterize_depth_binned(
     bilinear_grid: tuple[int, int] | None = None,
     chunk_override: int | None = None,
     _diag_stub: bool = False,
+    planes: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Tile-binned Pallas rasterization at integer sample positions.
 
@@ -632,8 +693,18 @@ def rasterize_depth_binned(
     returning (B, Sy/2, Sx/2) — the fused production postprocess (the
     reference clamps to 100 mm then bilinear-downsamples, mesh/render.py:
     286,310-311). None returns the raw (B, Sy, Sx) buffer, background 1000.
+
+    planes: alternative gather-free geometry input — (u, v, z), each
+    (B, 3F) in face-vertex order (skinning.project_faces_planes). Pass
+    face_vertices=None with it; the pre-pass then runs column-wise without
+    ever materializing a (B, F, 3, 3) tensor (~3 ms/call of layout copies
+    at B=1024 on the full mesh).
     """
-    batch, num_faces = face_vertices.shape[:2]
+    if planes is not None:
+        assert face_vertices is None
+        batch, num_faces = planes[0].shape[0], planes[0].shape[1] // 3
+    else:
+        batch, num_faces = face_vertices.shape[:2]
     assert sample_x.shape[0] == tiles_x * TILE_S
     assert sample_y.shape[0] == tiles_y * TILE_S
     num_tiles = tiles_x * tiles_y
@@ -652,9 +723,10 @@ def rasterize_depth_binned(
     assert tiles_x % quad == 0
     bin_rows = quad == tiles_x
 
-    p, _, valid = face_setup_fast(face_vertices)
+    xc, yc, zc = _face_columns(face_vertices, planes)
+    spx, spy, spz, valid = _face_setup_cols(xc, yc, zc)
     keys, num_buckets, (ty_lo, ty_hi) = _bin_faces(
-        p, valid, sample_x, sample_y, tiles_x, tiles_y, width, height,
+        spx, spy, valid, sample_x, sample_y, tiles_x, tiles_y, width, height,
         rows=bin_rows, bilinear_grid=bilinear_grid,
     )
     dump = num_buckets + 1
@@ -719,9 +791,9 @@ def rasterize_depth_binned(
     # addressed, but chunk-aligned overreads may touch them, and a zero record
     # is inert in both kernels (module docstring, point 4).
     coord_cols = [
-        jnp.where(keys == dump, 0.0, p[..., v, c])
-        for c in range(3)
-        for v in range(3)
+        jnp.where(keys == dump, 0.0, col)
+        for cols in (spx, spy, spz)
+        for col in cols
     ]  # px0 px1 px2 py0 py1 py2 pz0 pz1 pz2
     sorted_ops = jax.lax.sort(
         [keys] + coord_cols, dimension=-1, num_keys=1, is_stable=False

@@ -99,3 +99,25 @@ def test_lbs_faces_matches_gather_path(hand_model):
     ref = orthographic_project(via_gather, 640.0, rand_f)[..., :3]
     got = orthographic_project_xyz(fused, 640.0, rand_f)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_project_faces_planes_matches_unfused(hand_model):
+    """Fused LBS+projection planes == lbs_faces -> orthographic_project_xyz
+    (associativity differs, so tolerance is fp-roundoff at canvas scale)."""
+    from spherehand_tpu.hand.skinning import project_faces_planes
+
+    rng = np.random.RandomState(11)
+    pose = jnp.asarray(rng.uniform(-0.4, 0.4, (2, 26)).astype(np.float32))
+    transforms = forward_kinematics(hand_model, pose)
+    rand_f = jnp.asarray(rng.uniform(0.9, 1.1, (2,)).astype(np.float32))
+    u, v, z = project_faces_planes(hand_model, transforms, 640.0, rand_f)
+    ref = orthographic_project_xyz(
+        lbs_faces(hand_model, transforms), 640.0, rand_f
+    )
+    np.testing.assert_allclose(np.asarray(u), np.asarray(ref[..., 0]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref[..., 1]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref[..., 2]), atol=5e-3)
+    # And without the focal jitter.
+    u2, v2, z2 = project_faces_planes(hand_model, transforms, 640.0)
+    ref2 = orthographic_project_xyz(lbs_faces(hand_model, transforms), 640.0)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(ref2[..., 0]), atol=5e-3)

@@ -193,3 +193,45 @@ def test_tpu_compiled_parity_artifact():
     oracle, exact = art["oracle"], art["exact"]
     assert ((oracle < 999) == (exact < 999)).all()
     assert np.median(np.abs(oracle - exact)) == 0.0
+
+
+def test_planes_front_end_matches_face_verts_on_hand(hand_model):
+    """The gather-free planes input (project_faces_planes) reproduces the
+    face_verts render: bit-identical raster given identical coordinates, and
+    sub-pixel-boundary-only differences through the fused-projection front
+    end (~1e-5 relative fp association change)."""
+    from spherehand_tpu.hand.skinning import project_faces_planes
+
+    params = sample_poses(jax.random.key(5), 2)
+    tr = forward_kinematics(hand_model, params)
+    fv = _hand_faces(hand_model, jax.random.key(5), 2)
+    samples = jnp.asarray(bilinear_sample_positions(64, 10))
+    kw = dict(exact=False, interpret=True, pool_clamp=100.0,
+              bilinear_grid=(64, 10), valid_frac=0.62)
+    base = np.asarray(rasterize_depth_binned(fv, samples, samples, **kw))
+
+    # (a) identical coordinates via planes -> bit-identical output
+    u = fv[..., 0].reshape(2, -1)
+    v = fv[..., 1].reshape(2, -1)
+    z = fv[..., 2].reshape(2, -1)
+    same = np.asarray(
+        rasterize_depth_binned(None, samples, samples, planes=(u, v, z), **kw)
+    )
+    np.testing.assert_array_equal(base, same)
+
+    # (b) the fused-projection front end: interior depths match, boundary
+    # pixels may flip (same tolerance class as the lite-mesh fidelity gate)
+    planes = project_faces_planes(hand_model, tr, 640.0)
+    fused = np.asarray(
+        rasterize_depth_binned(None, samples, samples, planes=planes, **kw)
+    )
+    fg_a, fg_b = base < 99.9, fused < 99.9
+    iou = (fg_a & fg_b).sum() / (fg_a | fg_b).sum()
+    assert iou > 0.995, iou
+    inter = fg_a & fg_b
+    diff = np.abs(base - fused)[inter]
+    assert np.median(diff) < 1e-3
+    # p99 rides the silhouette: one flipped boundary SAMPLE inside a 2x2
+    # pool block mixes background into the mean — same tolerance class as
+    # the on-chip fast-vs-exact artifact (fast_p99 < 0.5 mm).
+    assert np.percentile(diff, 99) < 0.5
