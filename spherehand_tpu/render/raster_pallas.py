@@ -27,6 +27,11 @@ v5e chip (history in PERF.md):
    replacing the former sort-then-``take_along_axis`` row gather that cost
    4.6 ms/call at B=128 (~10 ns/row, overhead-bound). Records are then built
    AFTER the sort from the 9 coordinate columns — pure elementwise, fused.
+   Sort cost is ~linear in payload count (measured 0.83 ms at key+1 to
+   5.86 ms at key+9, B=1024 full mesh), so the production fast path packs
+   the coordinates into FIVE 16-bit-fixed-point u32 payloads (1/32 px,
+   1/64 mm — far below fast mode's statistical contract); exact mode keeps
+   the bit-exact 9-column f32 sort.
 
 3. **Truncation.** Only nondump faces (front-facing, on-screen) are ever
    addressed by the kernel windows, and for a closed mesh they are ~half the
@@ -58,7 +63,10 @@ v5e chip (history in PERF.md):
      work is three fused multiply-adds, a min-coverage test, one divide, and
      the min-reduction. (A reciprocal-space max-reduce was tried and rejected:
      orthographic camera z here is centered near zero, and 1/z is not
-     monotone across the sign change.)
+     monotone across the sign change.) On the production bilinear sample
+     grid the affine evaluations are additionally PARITY-FACTORED and the
+     2x2-mean pool fuses into the kernel epilogue — see
+     :func:`_raster_kernel_fast_paired`.
    - *Exact mode* (CUDA-parity): scanline-span coverage with the reference's
      ceil/trunc semantics, clamped+renormalized barycentric depth; per-face
      column bounds ceil(p0.x) / trunc(min(p2.x, W-1)) are precomputed into
@@ -86,6 +94,18 @@ from jax.experimental.pallas import tpu as pltpu
 FREC_F = 9   # fields per fast-mode face record
 FREC_E = 24  # fields per exact-mode face record
 CHUNK = 32   # faces per compute chunk (sublane dimension)
+# Packed-sort fixed-point ranges (paired fast path): canvas coords at
+# 1/32 px over [-1024, 1024) px, depth at 1/64 mm over [-256, 768) mm.
+# Nondump hand-mesh vertices measured x/y in [-194, 829] px and z in
+# [-152, 221] mm over 4,096 sampler poses at focal jitter 0.85-1.15 (faces
+# are <~40 px, and a nondump bbox must touch the [0, 640) canvas, so the
+# margins are structural, not luck). Values outside CLAMP, so only geometry
+# that is already off-screen or absurd could distort.
+_XYQ_OFF, _XYQ_SCALE = 1024.0, 32.0
+_ZQ_OFF, _ZQ_SCALE = 256.0, 64.0
+CHUNK_PAIRED = 48  # parity-factored kernel: half the vector work per face
+#   shifts the chunk-quantization-vs-iteration-overhead balance up (measured
+#   9.75 ms vs 10.66 at 32, 9.82 at 64, full mesh B=1024)
 TILE_S = 8   # tile edge in samples -> 64 samples/tile
 QUAD_FAST = 16   # tiles per loop iteration = full tile row (1024 lanes)
 QUAD_EXACT = 16  # full-row quads for exact too, but with...
@@ -548,6 +568,114 @@ def _raster_kernel_fast(
     jax.lax.fori_loop(0, num_tiles // quad, quad_body, 0)
 
 
+def _raster_kernel_fast_paired(
+    starts_ref,  # (8, NTpad) int32 quad table, 8 images/block (SMEM)
+    xcoord_ref,  # (1, lanes4) even-column sample x (lane = rp*PAIRS_X + cp)
+    ycoord_ref,  # (NQ, lanes4) even-row sample y per quad
+    fdata_ref,   # (1, E, FREC_F) sorted fast records (block, auto-pipelined)
+    out_ref,     # pooled: (1, NQ, lanes4); raw: (1, NQ, 4, lanes4)
+    *,
+    num_quads: int,
+    quad: int,
+    chunk: int,
+    smem_blocks: bool,
+    pool_clamp: float | None,
+    split_main: int = 1,
+):
+    """Parity-factored fast kernel (bin_rows row-quad layout only).
+
+    The bilinear sample grid comes in +1 PAIRS on both axes
+    (raster.bilinear_sample_positions: {10c+4, 10c+5} x {10r+4, 10r+5}), and
+    every per-face quantity here is an affine form w = a*x + b*y + c, so
+    w(x+1, y) = w + a and w(x, y+1) = w + b. The kernel therefore evaluates
+    each affine ONCE on the (row-pair, col-pair) base grid — lanes//4 lanes,
+    lane = rp * 64 + cp — and derives the other three parity variants with
+    one broadcast add each: the 9 fma of the affine evaluations become 9 fma
+    at quarter width plus 9 quarter-width adds (~half the FMA work). The
+    coverage/depth tail still runs per parity (full sample count — those ops
+    are irreducible), and the z-buffer is four quarter-width accumulators.
+
+    Since the production postprocess is exactly the mean over the 4 parity
+    samples of each output pixel (the reference's 640->64 bilinear resize,
+    mesh/render.py:310-311), pool_clamp fuses to a per-quad epilogue:
+    out[rp, cp] = mean_p(min(z_p, clamp)) — the kernel emits the pooled
+    64x64 canvas directly and the XLA pool pass (plus 3/4 of the output
+    write traffic) disappears. pool_clamp=None emits the 4 parity planes
+    (1, NQ, 4, lanes4) for the caller to interleave (test/raw path).
+    """
+    lanes4 = quad * TILE_S * TILE_S // 4
+    if smem_blocks:
+        row = pl.program_id(0) % 8
+    else:
+        row = pl.program_id(0)
+
+    x_row = xcoord_ref[0, :][None, :]  # (1, lanes4), same for every quad
+
+    def quad_body(q, _):
+        y = ycoord_ref[q, :][None, :]  # (1, lanes4) even-row y
+
+        def process_range(rng, zbufs):
+            aligned_rs, n_chunks = rng
+
+            def chunk_fast(i, zbufs):
+                off = pl.multiple_of(aligned_rs + i * chunk, 8)
+                f = fdata_ref[0, pl.ds(off, chunk), :]  # (chunk, FREC_F)
+
+                def col(k):
+                    return f[:, k][:, None]  # (chunk, 1)
+
+                a0, b0 = col(0), col(1)
+                a1, b1 = col(3), col(4)
+                aq, bq = col(6), col(7)
+                w0b = a0 * x_row + b0 * y + col(2)
+                w1b = a1 * x_row + b1 * y + col(5)
+                qdb = aq * x_row + bq * y + col(8)
+
+                out = []
+                for p, zb in enumerate(zbufs):
+                    py, px = p // 2, p % 2
+                    w0 = w0b + a0 if px else w0b
+                    w1 = w1b + a1 if px else w1b
+                    qd = qdb + aq if px else qdb
+                    if py:
+                        w0, w1, qd = w0 + b0, w1 + b1, qd + bq
+                    w2 = 1.0 - w0 - w1
+                    cover = jnp.minimum(jnp.minimum(w0, w1), w2) >= 0.0
+                    depth = jnp.where(
+                        cover, pl.reciprocal(qd, approx=True), 1000.0
+                    )
+                    out.append(jnp.minimum(zb, _fold8(depth, chunk)))
+                return tuple(out)
+
+            return jax.lax.fori_loop(0, n_chunks, chunk_fast, zbufs)
+
+        wins = _quad_ranges(starts_ref, row, q, 0, 0, quad, chunk, True)
+        if split_main > 1:
+            # Diagnostic: split the main window into N chunk-loop ranges
+            # (same chunk total, N-1 extra fori setups) to price the kernel
+            # cost of a segmented (split-sorted) record buffer.
+            a, n = wins[0]
+            n0 = (n + split_main - 1) // split_main
+            wins = [
+                (a + i * n0 * chunk, jnp.clip(n - i * n0, 0, n0))
+                for i in range(split_main)
+            ] + wins[1:]
+
+        zbufs = tuple(jnp.full((8, lanes4), 1000.0, jnp.float32) for _ in range(4))
+        for w in wins:
+            zbufs = process_range(w, zbufs)
+        planes = [jnp.min(z, axis=0) for z in zbufs]  # 4 x (lanes4,)
+        if pool_clamp is not None:
+            t = [jnp.minimum(p, pool_clamp) for p in planes]
+            out_ref[0, q, :] = ((t[0] + t[1]) + (t[2] + t[3])) * 0.25
+        else:
+            for p in range(4):
+                out_ref[0, q, p, :] = planes[p]
+        return 0
+
+    jax.lax.fori_loop(0, num_quads, quad_body, 0)
+
+
 def _raster_kernel_exact(
     starts_ref,
     xcoord_ref,
@@ -654,7 +782,7 @@ def _raster_kernel_exact(
     static_argnames=(
         "width", "height", "tiles_x", "tiles_y", "interpret", "exact",
         "valid_frac", "pool_clamp", "smem_block_starts", "bilinear_grid",
-        "chunk_override", "_diag_stub",
+        "chunk_override", "_diag_stub", "_diag_split_main",
     ),
 )
 def rasterize_depth_binned(
@@ -673,6 +801,7 @@ def rasterize_depth_binned(
     bilinear_grid: tuple[int, int] | None = None,
     chunk_override: int | None = None,
     _diag_stub: bool = False,
+    _diag_split_main: int = 1,
     planes: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Tile-binned Pallas rasterization at integer sample positions.
@@ -718,10 +847,16 @@ def rasterize_depth_binned(
     # chunk_override is a real static argument (part of the jit cache key) so
     # chunk probes recompile instead of silently reusing the stale trace —
     # patching the module constants from outside has no effect on a jitted fn.
-    chunk = chunk_override or (CHUNK_EXACT if exact else CHUNK)
+    bin_rows = quad == tiles_x
+    paired = (
+        (not exact) and bin_rows and bilinear_grid is not None
+        and not _diag_stub
+    )
+    chunk = chunk_override or (
+        CHUNK_EXACT if exact else (CHUNK_PAIRED if paired else CHUNK)
+    )
     assert chunk % 8 == 0, "chunk must be a multiple of the sublane tile (8)"
     assert tiles_x % quad == 0
-    bin_rows = quad == tiles_x
 
     xc, yc, zc = _face_columns(face_vertices, planes)
     spx, spy, spz, valid = _face_setup_cols(xc, yc, zc)
@@ -790,11 +925,49 @@ def rasterize_depth_binned(
     # Dump-bucket rows are zeroed BEFORE the sort: they are never legitimately
     # addressed, but chunk-aligned overreads may touch them, and a zero record
     # is inert in both kernels (module docstring, point 4).
-    coord_cols = [
-        jnp.where(keys == dump, 0.0, col)
-        for cols in (spx, spy, spz)
-        for col in cols
-    ]  # px0 px1 px2 py0 py1 py2 pz0 pz1 pz2
+    #
+    # Measured sort cost is ~linear in payload count (0.83 ms for key+1 to
+    # 5.86 ms for key+9 at B=1024 — the round-2 "payload count irrelevant"
+    # note was a broken wall-clock measurement; device traces disagree). The
+    # PAIRED production path therefore quantizes the coordinates to 16-bit
+    # fixed point and packs them into FIVE u32 payloads: (x|y) per sorted
+    # vertex plus (z0|z1) and (z2|-). Quantization steps (1/32 px, 1/64 mm)
+    # sit far below fast mode's statistical contract (silhouette shifts
+    # ~0.06 px; exact mode keeps the bit-exact 9-column f32 sort). A packed
+    # dump row decodes to three identical vertices -> zero record, inert.
+    dumpw = keys == dump
+    if paired:
+        def q16(v, off, scale):
+            return jnp.clip(
+                jnp.round((v + off) * scale), 0.0, 65535.0
+            ).astype(jnp.uint32)
+
+        def pk(a, b, dump_val=0):
+            return jnp.where(dumpw, jnp.uint32(dump_val), (a << 16) | b)
+
+        # Dump rows must decode to z == 0 exactly (the record builder's
+        # 1/z sanitization then yields r = +0, so qrow = +0 and the kernel
+        # sees +inf depth, inert in min; a nonzero z would give r < 0 and
+        # qrow = -0.0 -> reciprocal = -inf, which POISONS the min).
+        z_zero = int(round(_ZQ_OFF * _ZQ_SCALE))
+        z_dump = (z_zero << 16) | z_zero
+        zq = [q16(z, _ZQ_OFF, _ZQ_SCALE) for z in spz]
+        coord_cols = [
+            pk(
+                q16(spx[k], _XYQ_OFF, _XYQ_SCALE),
+                q16(spy[k], _XYQ_OFF, _XYQ_SCALE),
+            )
+            for k in range(3)
+        ] + [
+            pk(zq[0], zq[1], z_dump),
+            pk(zq[2], jnp.full_like(zq[2], z_zero), z_dump),
+        ]
+    else:
+        coord_cols = [
+            jnp.where(dumpw, 0.0, col)
+            for cols in (spx, spy, spz)
+            for col in cols
+        ]  # px0 px1 px2 py0 py1 py2 pz0 pz1 pz2
     sorted_ops = jax.lax.sort(
         [keys] + coord_cols, dimension=-1, num_keys=1, is_stable=False
     )
@@ -810,7 +983,22 @@ def rasterize_depth_binned(
     target = keep + (-keep) % chunk + chunk
     take = min(target, num_faces)
     sc = [op[:, :take] for op in sorted_ops[1:]]
-    px, py, pz = sc[0:3], sc[3:6], sc[6:9]
+    if paired:
+        def unq(q, off, scale):
+            return q.astype(jnp.float32) * (1.0 / scale) - off
+
+        px = [unq(sc[k] >> 16, _XYQ_OFF, _XYQ_SCALE) for k in range(3)]
+        py = [
+            unq(sc[k] & jnp.uint32(0xFFFF), _XYQ_OFF, _XYQ_SCALE)
+            for k in range(3)
+        ]
+        pz = [
+            unq(sc[3] >> 16, _ZQ_OFF, _ZQ_SCALE),
+            unq(sc[3] & jnp.uint32(0xFFFF), _ZQ_OFF, _ZQ_SCALE),
+            unq(sc[4] >> 16, _ZQ_OFF, _ZQ_SCALE),
+        ]
+    else:
+        px, py, pz = sc[0:3], sc[3:6], sc[6:9]
     if exact:
         fdata = _build_records_exact(px, py, pz, width)
     else:
@@ -827,7 +1015,20 @@ def rasterize_depth_binned(
     samples_per_tile = TILE_S * TILE_S
     num_quads = num_tiles // quad
     lanes = quad * samples_per_tile
-    if bin_rows:
+    # The parity-factored fast kernel requires the +1-paired bilinear grid
+    # (see _raster_kernel_fast_paired); bilinear_grid is the caller's promise.
+    if paired:
+        lanes4 = lanes // 4
+        pairs_x = tiles_x * TILE_S // 2
+        xe = sample_x[::2]  # even columns; odd = even + 1
+        ye = sample_y[::2]
+        xcoords = jnp.broadcast_to(
+            xe.reshape(1, 1, pairs_x), (1, 4, pairs_x)
+        ).reshape(1, lanes4)
+        ycoords = jnp.broadcast_to(
+            ye.reshape(tiles_y, 4, 1), (tiles_y, 4, pairs_x)
+        ).reshape(num_quads, lanes4)
+    elif bin_rows:
         # The x pattern repeats every row: ship ONE (1, lanes) row, read once.
         width_s = tiles_x * TILE_S
         xcoords = jnp.broadcast_to(
@@ -868,6 +1069,12 @@ def rasterize_depth_binned(
         starts_in = starts
         starts_spec = None
         num_prefetch = 1
+    if paired and pool_clamp is not None:
+        out_block = (1, num_quads, lanes // 4)
+    elif paired:
+        out_block = (1, num_quads, 4, lanes // 4)
+    else:
+        out_block = (1, num_quads, lanes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
         grid=(batch,),
@@ -878,7 +1085,7 @@ def rasterize_depth_binned(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (num_quads, quad * samples_per_tile),
+                ycoords.shape,
                 lambda b, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -889,8 +1096,10 @@ def rasterize_depth_binned(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, num_quads, quad * samples_per_tile),
-            lambda b, *_: (b, 0, 0),
+            out_block,
+            (lambda b, *_: (b, 0, 0, 0))
+            if len(out_block) == 4
+            else (lambda b, *_: (b, 0, 0)),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -906,6 +1115,16 @@ def rasterize_depth_binned(
             smem_blocks=smem_blocks,
             bin_rows=bin_rows,
         )
+    elif paired:
+        kernel = functools.partial(
+            _raster_kernel_fast_paired,
+            num_quads=num_quads,
+            quad=quad,
+            chunk=chunk,
+            smem_blocks=smem_blocks,
+            pool_clamp=pool_clamp,
+            split_main=_diag_split_main,
+        )
     else:
         kernel = functools.partial(
             _raster_kernel_fast,
@@ -920,9 +1139,7 @@ def rasterize_depth_binned(
         )
     tile_depths = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_quads, quad * samples_per_tile), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct((batch,) + out_block[1:], jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
@@ -933,6 +1150,16 @@ def rasterize_depth_binned(
     )
 
     h_s, w_s = tiles_y * TILE_S, tiles_x * TILE_S
+    if paired:
+        pairs_x = w_s // 2
+        if pool_clamp is not None:
+            # Kernel emitted the pooled canvas: (B, NQ, (rp, cp)) where the
+            # pooled row index is q*4 + rp — a pure reshape.
+            return tile_depths.reshape(batch, h_s // 2, pairs_x)
+        # Raw path: interleave the four parity planes back into the canvas.
+        t = tile_depths.reshape(batch, num_quads, 2, 2, 4, pairs_x)
+        t = t.transpose(0, 1, 4, 2, 5, 3)  # (B, q, rp, py, cp, px)
+        return t.reshape(batch, h_s, w_s)
     if bin_rows:
         # Canvas-row-major lanes: the kernel output IS the canvas.
         out = tile_depths.reshape(batch, h_s, w_s)

@@ -156,19 +156,36 @@ def test_closed_form_grid_matches_searchsorted():
 
 
 def test_bilinear_grid_flag_changes_nothing(hand_model):
-    """The closed-form binning path renders identically to searchsorted."""
+    """The closed-form binning path renders identically to searchsorted.
+
+    Exact mode runs the same kernel under both flags, so the comparison is
+    bit-exact and isolates the binning index math. Fast mode additionally
+    switches to the parity-factored kernel + packed 16-bit-quantized sort
+    payloads when bilinear_grid is given, so it gets fast mode's statistical
+    contract: interior depths within quantization noise (~1/64 mm steps),
+    and only a small fraction of pixels may flip a boundary sample."""
+
+    def flips_ok(a, b):
+        d = np.abs(a - b)
+        assert np.median(d) < 0.05, np.median(d)
+        assert (d > 0.5).mean() < 0.01, (d > 0.5).mean()
+
     fv = _hand_faces(hand_model, jax.random.key(61), 2)
     samples = jnp.asarray(bilinear_sample_positions(64, 10))
-    base = np.asarray(
-        rasterize_depth_binned(fv, samples, samples, interpret=True,
-                               exact=False, pool_clamp=100.0)
-    )
-    closed = np.asarray(
-        rasterize_depth_binned(fv, samples, samples, interpret=True,
-                               exact=False, pool_clamp=100.0,
-                               bilinear_grid=(64, 10))
-    )
-    np.testing.assert_array_equal(base, closed)
+    for exact, assert_fn in (
+        (True, np.testing.assert_array_equal),
+        (False, flips_ok),
+    ):
+        base = np.asarray(
+            rasterize_depth_binned(fv, samples, samples, interpret=True,
+                                   exact=exact, pool_clamp=100.0)
+        )
+        closed = np.asarray(
+            rasterize_depth_binned(fv, samples, samples, interpret=True,
+                                   exact=exact, pool_clamp=100.0,
+                                   bilinear_grid=(64, 10))
+        )
+        assert_fn(base, closed)
 
 
 def test_tpu_compiled_parity_artifact():
@@ -190,6 +207,11 @@ def test_tpu_compiled_parity_artifact():
     assert float(art["exact_big_diff_frac"]) < 1e-4
     assert float(art["fast_iou"]) > 0.999
     assert float(art["fast_p99_diff"]) < 0.5
+    # The production fast configuration (parity-factored kernel + packed
+    # 16-bit-quantized sort + truncation, as used by render_depth_64).
+    if "fastp_iou" in art:
+        assert float(art["fastp_iou"]) > 0.999
+        assert float(art["fastp_p99_diff"]) < 0.5
     oracle, exact = art["oracle"], art["exact"]
     assert ((oracle < 999) == (exact < 999)).all()
     assert np.median(np.abs(oracle - exact)) == 0.0

@@ -58,12 +58,22 @@ def main() -> None:
     fast = np.asarray(
         rasterize_depth_binned(fv, samples, samples, exact=False)
     )
+    # The PRODUCTION fast configuration (render_depth_64): parity-factored
+    # kernel + packed 16-bit-quantized sort payloads + truncation.
+    fastp = np.asarray(
+        rasterize_depth_binned(
+            fv, samples, samples, exact=False, bilinear_grid=(64, 10),
+            valid_frac=model.raster_valid_frac,
+        )
+    )
 
     fg_o, fg_e = oracle < 999, exact < 999
     cover_match = (fg_o == fg_e).mean()
     diff_e = np.abs(oracle - exact)
     both_f = fg_o & (fast < 999)
     diff_f = np.abs(oracle - fast)[both_f]
+    both_p = fg_o & (fastp < 999)
+    diff_p = np.abs(oracle - fastp)[both_p]
     stats = dict(
         batch=BATCH,
         backend=str(jax.devices()[0]),
@@ -72,6 +82,8 @@ def main() -> None:
         exact_big_diff_frac=float((diff_e > 1.0).mean()),
         fast_iou=float(both_f.sum() / max((fg_o | (fast < 999)).sum(), 1)),
         fast_p99_diff=float(np.percentile(diff_f, 99)),
+        fastp_iou=float(both_p.sum() / max((fg_o | (fastp < 999)).sum(), 1)),
+        fastp_p99_diff=float(np.percentile(diff_p, 99)),
     )
     print(stats)
     out = os.path.join(
@@ -83,6 +95,7 @@ def main() -> None:
         oracle=oracle[:4],
         exact=exact[:4],
         fast=fast[:4],
+        fastp=fastp[:4],
         **{k: v for k, v in stats.items() if k != "backend"},
         backend=np.bytes_(stats["backend"].encode()),
     )
