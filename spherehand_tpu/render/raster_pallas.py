@@ -103,6 +103,13 @@ CHUNK = 32   # faces per compute chunk (sublane dimension)
 # that is already off-screen or absurd could distort.
 _XYQ_OFF, _XYQ_SCALE = 1024.0, 32.0
 _ZQ_OFF, _ZQ_SCALE = 256.0, 64.0
+# 4-word variant (_diag_pack4): 9 fields at 14 bits each = 126 bits in four
+# u32 sort payloads (one fewer than the 16-bit scheme; sort cost is ~linear
+# in payload count). Coarser steps — 1/8 px over [-512, 1536), 1/16 mm over
+# [-256, 768) — still sit inside fast mode's statistical contract.
+_XYQ4_OFF, _XYQ4_SCALE = 512.0, 8.0
+_ZQ4_OFF, _ZQ4_SCALE = 256.0, 16.0
+_PACK4_BITS = 14
 CHUNK_PAIRED = 48  # parity-factored kernel: half the vector work per face
 #   shifts the chunk-quantization-vs-iteration-overhead balance up (measured
 #   9.75 ms vs 10.66 at 32, 9.82 at 64, full mesh B=1024)
@@ -782,7 +789,7 @@ def _raster_kernel_exact(
     static_argnames=(
         "width", "height", "tiles_x", "tiles_y", "interpret", "exact",
         "valid_frac", "pool_clamp", "smem_block_starts", "bilinear_grid",
-        "chunk_override", "_diag_stub", "_diag_split_main",
+        "chunk_override", "_diag_stub", "_diag_split_main", "_diag_pack4",
     ),
 )
 def rasterize_depth_binned(
@@ -802,6 +809,7 @@ def rasterize_depth_binned(
     chunk_override: int | None = None,
     _diag_stub: bool = False,
     _diag_split_main: int = 1,
+    _diag_pack4: bool = False,
     planes: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Tile-binned Pallas rasterization at integer sample positions.
@@ -936,7 +944,37 @@ def rasterize_depth_binned(
     # ~0.06 px; exact mode keeps the bit-exact 9-column f32 sort). A packed
     # dump row decodes to three identical vertices -> zero record, inert.
     dumpw = keys == dump
-    if paired:
+    if paired and _diag_pack4:
+        # 14-bit fields f0..f8 = x0 x1 x2 y0 y1 y2 z0 z1 z2 at bit offset
+        # 14k of a little-endian 126-bit stream across FOUR u32 words.
+        def q14(v, off, scale):
+            return jnp.clip(
+                jnp.round((v + off) * scale), 0.0, 16383.0
+            ).astype(jnp.uint32)
+
+        fields = (
+            [q14(x, _XYQ4_OFF, _XYQ4_SCALE) for x in spx]
+            + [q14(y, _XYQ4_OFF, _XYQ4_SCALE) for y in spy]
+            + [q14(z, _ZQ4_OFF, _ZQ4_SCALE) for z in spz]
+        )
+        # Dump rows: three identical vertices (zero area) with z decoding to
+        # exactly 0.0 (same +0-reciprocal requirement as the 16-bit scheme).
+        z_zero4 = int(round(_ZQ4_OFF * _ZQ4_SCALE))
+        dump_fields = [0] * 6 + [z_zero4] * 3
+        words = [jnp.zeros_like(fields[0]) for _ in range(4)]
+        dump_words = [0, 0, 0, 0]
+        for k, (f, df) in enumerate(zip(fields, dump_fields)):
+            a, r = (_PACK4_BITS * k) // 32, (_PACK4_BITS * k) % 32
+            words[a] = words[a] | (f << r)
+            dump_words[a] |= (df << r) & 0xFFFFFFFF
+            if r + _PACK4_BITS > 32:
+                words[a + 1] = words[a + 1] | (f >> (32 - r))
+                dump_words[a + 1] |= df >> (32 - r)
+        coord_cols = [
+            jnp.where(dumpw, jnp.uint32(dw), w)
+            for w, dw in zip(words, dump_words)
+        ]
+    elif paired:
         def q16(v, off, scale):
             return jnp.clip(
                 jnp.round((v + off) * scale), 0.0, 65535.0
@@ -983,7 +1021,19 @@ def rasterize_depth_binned(
     target = keep + (-keep) % chunk + chunk
     take = min(target, num_faces)
     sc = [op[:, :take] for op in sorted_ops[1:]]
-    if paired:
+    if paired and _diag_pack4:
+        def unq4(k, off, scale):
+            a, r = (_PACK4_BITS * k) // 32, (_PACK4_BITS * k) % 32
+            v = sc[a] >> r
+            if r + _PACK4_BITS > 32:
+                v = v | (sc[a + 1] << (32 - r))
+            v = v & jnp.uint32(0x3FFF)
+            return v.astype(jnp.float32) * (1.0 / scale) - off
+
+        px = [unq4(k, _XYQ4_OFF, _XYQ4_SCALE) for k in range(3)]
+        py = [unq4(3 + k, _XYQ4_OFF, _XYQ4_SCALE) for k in range(3)]
+        pz = [unq4(6 + k, _ZQ4_OFF, _ZQ4_SCALE) for k in range(3)]
+    elif paired:
         def unq(q, off, scale):
             return q.astype(jnp.float32) * (1.0 / scale) - off
 
