@@ -27,11 +27,13 @@ v5e chip (history in PERF.md):
    replacing the former sort-then-``take_along_axis`` row gather that cost
    4.6 ms/call at B=128 (~10 ns/row, overhead-bound). Records are then built
    AFTER the sort from the 9 coordinate columns — pure elementwise, fused.
-   Sort cost is ~linear in payload count (measured 0.83 ms at key+1 to
+   Sort cost is ~linear in column count (measured 0.83 ms at key+1 to
    5.86 ms at key+9, B=1024 full mesh), so the production fast path packs
-   the coordinates into FIVE 16-bit-fixed-point u32 payloads (1/32 px,
-   1/64 mm — far below fast mode's statistical contract); exact mode keeps
-   the bit-exact 9-column f32 sort.
+   the coordinates into 16-bit fixed point (1/32 px, 1/64 mm — far below
+   fast mode's statistical contract) across FIVE total u32 sort columns,
+   with the bucket key in the top bits of column 0 (the sorted key column
+   is never read back, so it need not be a separate operand); exact mode
+   keeps the bit-exact key + 9-column f32 sort.
 
 3. **Truncation.** Only nondump faces (front-facing, on-screen) are ever
    addressed by the kernel windows, and for a closed mesh they are ~half the
@@ -103,13 +105,13 @@ CHUNK = 32   # faces per compute chunk (sublane dimension)
 # that is already off-screen or absurd could distort.
 _XYQ_OFF, _XYQ_SCALE = 1024.0, 32.0
 _ZQ_OFF, _ZQ_SCALE = 256.0, 64.0
-# 4-word variant (_diag_pack4): 9 fields at 14 bits each = 126 bits in four
-# u32 sort payloads (one fewer than the 16-bit scheme; sort cost is ~linear
-# in payload count). Coarser steps — 1/8 px over [-512, 1536), 1/16 mm over
-# [-256, 768) — still sit inside fast mode's statistical contract.
+# 4-column variant (_diag_pack4): key(6) + 3x z(12) + 6x xy(14) = 126 bits
+# in FOUR u32 sort columns total (one fewer than the 16-bit scheme's five;
+# sort cost is ~linear in column count). Coarser steps — 1/8 px over
+# [-512, 1536), 1/4 mm over [-256, 768) — still sit inside fast mode's
+# statistical contract (CPU-validated vs the 16-bit scheme below).
 _XYQ4_OFF, _XYQ4_SCALE = 512.0, 8.0
-_ZQ4_OFF, _ZQ4_SCALE = 256.0, 16.0
-_PACK4_BITS = 14
+_ZQ4_OFF, _ZQ4_SCALE = 256.0, 4.0
 CHUNK_PAIRED = 48  # parity-factored kernel: half the vector work per face
 #   shifts the chunk-quantization-vs-iteration-overhead balance up (measured
 #   9.75 ms vs 10.66 at 32, 9.82 at 64, full mesh B=1024)
@@ -943,37 +945,59 @@ def rasterize_depth_binned(
     # sit far below fast mode's statistical contract (silhouette shifts
     # ~0.06 px; exact mode keeps the bit-exact 9-column f32 sort). A packed
     # dump row decodes to three identical vertices -> zero record, inert.
+    # The sorted key column is never read back (bucket starts come from the
+    # pre-pass histogram), so the paired schemes pack the bucket key into the
+    # TOP bits of sort column 0 — the lexicographic u32 order is then bucket
+    # order, the within-bucket order is a harmless z tiebreak, and the sort
+    # moves one whole column less.
     dumpw = keys == dump
+    keys_u = keys.astype(jnp.uint32)
     if paired and _diag_pack4:
-        # 14-bit fields f0..f8 = x0 x1 x2 y0 y1 y2 z0 z1 z2 at bit offset
-        # 14k of a little-endian 126-bit stream across FOUR u32 words.
-        def q14(v, off, scale):
+        # FOUR total sort columns: an MSB-first 126-bit stream
+        #   key(6) z0(12) z1(12) z2(12) x0(14) y0(14) x1(14) y1(14)
+        #   x2(14) y2(14)
+        # (6 + 36 + 84 = 126). Key in the top 6 bits of word 0.
+        assert dump < 64, dump
+        def q(v, off, scale, top):
             return jnp.clip(
-                jnp.round((v + off) * scale), 0.0, 16383.0
+                jnp.round((v + off) * scale), 0.0, float(top)
             ).astype(jnp.uint32)
 
-        fields = (
-            [q14(x, _XYQ4_OFF, _XYQ4_SCALE) for x in spx]
-            + [q14(y, _XYQ4_OFF, _XYQ4_SCALE) for y in spy]
-            + [q14(z, _ZQ4_OFF, _ZQ4_SCALE) for z in spz]
-        )
-        # Dump rows: three identical vertices (zero area) with z decoding to
-        # exactly 0.0 (same +0-reciprocal requirement as the 16-bit scheme).
         z_zero4 = int(round(_ZQ4_OFF * _ZQ4_SCALE))
-        dump_fields = [0] * 6 + [z_zero4] * 3
-        words = [jnp.zeros_like(fields[0]) for _ in range(4)]
+        fields = (
+            [(q(z, _ZQ4_OFF, _ZQ4_SCALE, 4095), 12, z_zero4) for z in spz]
+            + [
+                fx
+                for k in range(3)
+                for fx in (
+                    (q(spx[k], _XYQ4_OFF, _XYQ4_SCALE, 16383), 14, 0),
+                    (q(spy[k], _XYQ4_OFF, _XYQ4_SCALE, 16383), 14, 0),
+                )
+            ]
+        )
+        words = [jnp.zeros_like(keys_u) for _ in range(4)]
         dump_words = [0, 0, 0, 0]
-        for k, (f, df) in enumerate(zip(fields, dump_fields)):
-            a, r = (_PACK4_BITS * k) // 32, (_PACK4_BITS * k) % 32
-            words[a] = words[a] | (f << r)
-            dump_words[a] |= (df << r) & 0xFFFFFFFF
-            if r + _PACK4_BITS > 32:
-                words[a + 1] = words[a + 1] | (f >> (32 - r))
-                dump_words[a + 1] |= df >> (32 - r)
-        coord_cols = [
+        s = 6  # stream offset; bits [0, 6) are the key
+        for f, wd, df in fields:
+            a, r = s // 32, s % 32
+            if r + wd <= 32:
+                sh = 32 - r - wd
+                words[a] = words[a] | (f << sh)
+                dump_words[a] |= (df << sh) & 0xFFFFFFFF
+            else:
+                wd2 = r + wd - 32  # low bits spilling into word a+1
+                words[a] = words[a] | (f >> wd2)
+                dump_words[a] |= df >> wd2
+                lo_sh = 32 - wd2
+                words[a + 1] = words[a + 1] | (f << lo_sh)
+                dump_words[a + 1] |= (df << lo_sh) & 0xFFFFFFFF
+            s += wd
+        assert s == 126, s
+        sort_cols = [
             jnp.where(dumpw, jnp.uint32(dw), w)
             for w, dw in zip(words, dump_words)
         ]
+        sort_cols[0] = sort_cols[0] | (keys_u << 26)
     elif paired:
         def q16(v, off, scale):
             return jnp.clip(
@@ -990,7 +1014,10 @@ def rasterize_depth_binned(
         z_zero = int(round(_ZQ_OFF * _ZQ_SCALE))
         z_dump = (z_zero << 16) | z_zero
         zq = [q16(z, _ZQ_OFF, _ZQ_SCALE) for z in spz]
-        coord_cols = [
+        # FIVE total sort columns: key|z2 then (x|y) per vertex and z0|z1.
+        sort_cols = [
+            (keys_u << 16) | jnp.where(dumpw, jnp.uint32(z_zero), zq[2])
+        ] + [
             pk(
                 q16(spx[k], _XYQ_OFF, _XYQ_SCALE),
                 q16(spy[k], _XYQ_OFF, _XYQ_SCALE),
@@ -998,7 +1025,6 @@ def rasterize_depth_binned(
             for k in range(3)
         ] + [
             pk(zq[0], zq[1], z_dump),
-            pk(zq[2], jnp.full_like(zq[2], z_zero), z_dump),
         ]
     else:
         coord_cols = [
@@ -1006,8 +1032,9 @@ def rasterize_depth_binned(
             for cols in (spx, spy, spz)
             for col in cols
         ]  # px0 px1 px2 py0 py1 py2 pz0 pz1 pz2
+        sort_cols = [keys] + coord_cols
     sorted_ops = jax.lax.sort(
-        [keys] + coord_cols, dimension=-1, num_keys=1, is_stable=False
+        sort_cols, dimension=-1, num_keys=1, is_stable=False
     )
 
     if valid_frac < 1.0:
@@ -1020,35 +1047,35 @@ def rasterize_depth_binned(
     # padding: rows past the nondump count are dump rows, already zeroed.
     target = keep + (-keep) % chunk + chunk
     take = min(target, num_faces)
-    sc = [op[:, :take] for op in sorted_ops[1:]]
+    sc = [op[:, :take] for op in sorted_ops]
     if paired and _diag_pack4:
-        def unq4(k, off, scale):
-            a, r = (_PACK4_BITS * k) // 32, (_PACK4_BITS * k) % 32
-            v = sc[a] >> r
-            if r + _PACK4_BITS > 32:
-                v = v | (sc[a + 1] << (32 - r))
-            v = v & jnp.uint32(0x3FFF)
+        def unq4(s, wd, off, scale):
+            a, r = s // 32, s % 32
+            if r + wd <= 32:
+                v = (sc[a] >> (32 - r - wd)) & jnp.uint32((1 << wd) - 1)
+            else:
+                wd2 = r + wd - 32
+                hi = sc[a] & jnp.uint32((1 << (32 - r)) - 1)
+                v = (hi << wd2) | (sc[a + 1] >> (32 - wd2))
             return v.astype(jnp.float32) * (1.0 / scale) - off
 
-        px = [unq4(k, _XYQ4_OFF, _XYQ4_SCALE) for k in range(3)]
-        py = [unq4(3 + k, _XYQ4_OFF, _XYQ4_SCALE) for k in range(3)]
-        pz = [unq4(6 + k, _ZQ4_OFF, _ZQ4_SCALE) for k in range(3)]
+        zs = [unq4(6 + 12 * j, 12, _ZQ4_OFF, _ZQ4_SCALE) for j in range(3)]
+        xy = [unq4(42 + 14 * j, 14, _XYQ4_OFF, _XYQ4_SCALE) for j in range(6)]
+        px, py, pz = xy[0::2], xy[1::2], zs
     elif paired:
         def unq(q, off, scale):
             return q.astype(jnp.float32) * (1.0 / scale) - off
 
-        px = [unq(sc[k] >> 16, _XYQ_OFF, _XYQ_SCALE) for k in range(3)]
-        py = [
-            unq(sc[k] & jnp.uint32(0xFFFF), _XYQ_OFF, _XYQ_SCALE)
-            for k in range(3)
-        ]
+        lo = jnp.uint32(0xFFFF)
+        px = [unq(sc[1 + k] >> 16, _XYQ_OFF, _XYQ_SCALE) for k in range(3)]
+        py = [unq(sc[1 + k] & lo, _XYQ_OFF, _XYQ_SCALE) for k in range(3)]
         pz = [
-            unq(sc[3] >> 16, _ZQ_OFF, _ZQ_SCALE),
-            unq(sc[3] & jnp.uint32(0xFFFF), _ZQ_OFF, _ZQ_SCALE),
             unq(sc[4] >> 16, _ZQ_OFF, _ZQ_SCALE),
+            unq(sc[4] & lo, _ZQ_OFF, _ZQ_SCALE),
+            unq(sc[0] & lo, _ZQ_OFF, _ZQ_SCALE),
         ]
     else:
-        px, py, pz = sc[0:3], sc[3:6], sc[6:9]
+        px, py, pz = sc[1:4], sc[4:7], sc[7:10]
     if exact:
         fdata = _build_records_exact(px, py, pz, width)
     else:

@@ -189,12 +189,13 @@ def test_bilinear_grid_flag_changes_nothing(hand_model):
 
 
 def test_pack4_payload_variant_within_fast_contract(hand_model):
-    """The 4-word/14-bit packed-sort diagnostic (_diag_pack4) vs the 5-word
-    16-bit production packing: coarser quantization (1/8 px, 1/16 mm) stays
-    inside fast mode's statistical contract — zero median depth change,
-    sub-0.2 mm p99 on pooled pixels, <1% boundary-flip pixels. (Kept as a
-    measured sort-cost lever: one fewer payload column ~= -0.6 ms at
-    B=1024; promote to default only if the stock-mesh north star needs it.)
+    """The 4-column packed-sort diagnostic (_diag_pack4: key+z0..z2+xy in
+    126 bits) vs the 5-column 16-bit production packing: coarser
+    quantization (1/8 px, 1/4 mm) stays inside fast mode's statistical
+    contract — zero median depth change, p99 well under the 0.5 mm oracle
+    budget, <1% boundary-flip pixels. (Kept as a measured sort-cost lever:
+    one fewer sort column ~= -0.6 ms at B=1024; promote to default only if
+    the stock-mesh north star needs it.)
     """
     fv = _hand_faces(hand_model, jax.random.key(67), 2)
     samples = jnp.asarray(bilinear_sample_positions(64, 10))
@@ -206,7 +207,7 @@ def test_pack4_payload_variant_within_fast_contract(hand_model):
     )
     d = np.abs(p16 - p4)
     assert np.median(d) == 0.0
-    assert np.percentile(d, 99) < 0.2, np.percentile(d, 99)
+    assert np.percentile(d, 99) < 0.35, np.percentile(d, 99)
     assert (d > 0.5).mean() < 0.01, (d > 0.5).mean()
     fg16, fg4 = p16 < 99.0, p4 < 99.0
     assert (fg16 & fg4).sum() / (fg16 | fg4).sum() > 0.995
