@@ -237,6 +237,7 @@ def render_depth_64(
     backend: str = "auto",
     exact: bool = False,
     chunk_override: int | None = None,
+    _diag: tuple = (),
 ) -> jnp.ndarray:
     """Bone transforms -> 64x64 depth maps in mm, reference-parity path.
 
@@ -287,6 +288,9 @@ def render_depth_64(
             bilinear_grid=(out_size, scale),
             chunk_override=chunk_override,
             planes=planes_in,
+            # _diag: hashable ("_diag_pack4", True)-style pairs forwarded to
+            # rasterize_depth_binned — perf-probe levers (tools/probe_chunk).
+            **dict(_diag),
         )
     face_verts = _assemble_face_verts(model, transforms, rand_f)
     zbuf = rasterize_depth(

@@ -32,7 +32,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def measure_render_fps(model, batch: int, exact: bool, iters: int = 20,
-                       repeats: int = 3, chunk: int | None = None) -> float:
+                       repeats: int = 3, chunk: int | None = None,
+                       diag: tuple = ()) -> float:
     """Frames/sec of the full synthesis render path on the default device.
 
     The ``iters`` renders run under ONE ``lax.scan`` dispatch — production
@@ -48,8 +49,8 @@ def measure_render_fps(model, batch: int, exact: bool, iters: int = 20,
     from spherehand_tpu.hand.kinematics import forward_kinematics
     from spherehand_tpu.render.raster import render_depth_64
 
-    @functools.partial(jax.jit, static_argnames=("exact", "chunk"))
-    def render_many(key0, exact, chunk=None):
+    @functools.partial(jax.jit, static_argnames=("exact", "chunk", "diag"))
+    def render_many(key0, exact, chunk=None, diag=()):
         def body(acc, i):
             key = jax.random.fold_in(key0, i)
             params = sample_poses(key, batch)
@@ -58,19 +59,19 @@ def measure_render_fps(model, batch: int, exact: bool, iters: int = 20,
                 jax.random.fold_in(key, 1), (batch,), minval=0.9, maxval=1.1
             )
             out = render_depth_64(model, transforms, rand_f, exact=exact,
-                                  chunk_override=chunk)
+                                  chunk_override=chunk, _diag=diag)
             return acc + jnp.mean(out), None
         acc, _ = jax.lax.scan(
             body, jnp.zeros(()), jnp.arange(iters, dtype=jnp.int32)
         )
         return acc
 
-    out = render_many(jax.random.key(0), exact, chunk)
+    out = render_many(jax.random.key(0), exact, chunk, diag)
     jax.block_until_ready(out)  # compile/warmup
     best = 0.0
     for r in range(repeats):
         t0 = time.perf_counter()
-        out = render_many(jax.random.key(r + 1), exact, chunk)
+        out = render_many(jax.random.key(r + 1), exact, chunk, diag)
         jax.block_until_ready(out)
         best = max(best, batch * iters / (time.perf_counter() - t0))
     return best
