@@ -66,6 +66,19 @@ def main() -> None:
             valid_frac=model.raster_valid_frac,
         )
     )
+    # ... and the pooled epilogue render_depth_64 actually ships (the kernel
+    # emits the 2x2-mean 64x64 canvas directly when pool_clamp is given).
+    fastpool = np.asarray(
+        rasterize_depth_binned(
+            fv, samples, samples, exact=False, bilinear_grid=(64, 10),
+            valid_frac=model.raster_valid_frac, pool_clamp=100.0,
+        )
+    )
+    pooled_oracle = (
+        np.minimum(oracle, 100.0)
+        .reshape(BATCH, 64, 2, 64, 2)
+        .mean(axis=(2, 4))
+    )
 
     fg_o, fg_e = oracle < 999, exact < 999
     cover_match = (fg_o == fg_e).mean()
@@ -84,6 +97,11 @@ def main() -> None:
         fast_p99_diff=float(np.percentile(diff_f, 99)),
         fastp_iou=float(both_p.sum() / max((fg_o | (fastp < 999)).sum(), 1)),
         fastp_p99_diff=float(np.percentile(diff_p, 99)),
+        fastpool_median=float(np.median(np.abs(fastpool - pooled_oracle))),
+        fastpool_p99=float(np.percentile(np.abs(fastpool - pooled_oracle), 99)),
+        fastpool_big_frac=float(
+            (np.abs(fastpool - pooled_oracle) > 5.0).mean()
+        ),
     )
     print(stats)
     out = os.path.join(
@@ -96,6 +114,7 @@ def main() -> None:
         exact=exact[:4],
         fast=fast[:4],
         fastp=fastp[:4],
+        fastpool=fastpool[:4],
         **{k: v for k, v in stats.items() if k != "backend"},
         backend=np.bytes_(stats["backend"].encode()),
     )
