@@ -238,8 +238,8 @@ def _barycentric_rows(px, py):
     return [[c / safe_den for c in row] for row in rows]
 
 
-def _build_records_fast(px, py, pz) -> jnp.ndarray:
-    """Sorted coordinate columns -> (B, K, FREC_F) fast-mode records.
+def _fast_record_cols(px, py, pz) -> list[jnp.ndarray]:
+    """Sorted coordinate columns -> the nine (B, K) fast-mode field columns.
 
     All nine values are sanitized to finite (a near-degenerate face whose
     inverse overflows would otherwise propagate NaN through the kernel's
@@ -252,7 +252,40 @@ def _build_records_fast(px, py, pz) -> jnp.ndarray:
     ]
     cols = rows[0] + rows[1] + qrow
     fin = lambda v: jnp.where(jnp.isfinite(v), v, 0.0)
-    return _stack_records([fin(c) for c in cols])
+    return [fin(c) for c in cols]
+
+
+def _build_records_fast(px, py, pz) -> jnp.ndarray:
+    """Sorted coordinate columns -> (B, K, FREC_F) fast-mode records."""
+    return _stack_records(_fast_record_cols(px, py, pz))
+
+
+def _build_records_fast_panels(px, py, pz, target: int) -> jnp.ndarray:
+    """Sorted coordinate columns -> (B, P, 16, 128) COMPACT record panels.
+
+    The (B, K, FREC) record layout lane-pads FREC 9 -> 128 in HBM
+    ((8, 128) tiling), so both the XLA build transpose and the kernel's
+    per-image record DMA move ~14x more bytes than the records hold
+    (measured 1.5 ms/call of padding writes at B=1024 full mesh, plus
+    ~1.1 GB/call of hidden kernel DMA). Panel layout keeps every hop
+    compact: panel p holds field k of face p*128 + j at [b, p, k, j] —
+    last two dims (16, 128) are exactly one padding-free tile column, and
+    the transpose below is a sublane permutation (lane dim untouched), so
+    XLA writes compact bytes. The kernel can't slice faces from lanes
+    directly (Mosaic's lane->sublane reshape is unsupported; dynamic lane
+    offsets must be 128-aligned) — instead it transposes each (16, 128)
+    panel ONCE per image into a (P*128, 16) VMEM scratch and chunk-slices
+    that with the usual 8-aligned sublane offsets.
+
+    ``target`` (the padded face-row count) is rounded up to panels by the
+    caller; pad rows are zero records, inert in both kernels.
+    """
+    cols = _fast_record_cols(px, py, pz)
+    cols += [jnp.zeros_like(cols[0])] * (16 - len(cols))
+    b, k = cols[0].shape
+    arr = jnp.stack(cols, axis=0)  # (16, B, K) — fuses with the field math
+    arr = jnp.pad(arr, ((0, 0), (0, 0), (0, target - k)))
+    return arr.reshape(16, b, target // 128, 128).transpose(1, 2, 0, 3)
 
 
 def _build_records_exact(px, py, pz, width: int) -> jnp.ndarray:
@@ -582,14 +615,16 @@ def _raster_kernel_fast_paired(
     xcoord_ref,  # (1, lanes4) even-column sample x (lane = rp*PAIRS_X + cp)
     ycoord_ref,  # (NQ, lanes4) even-row sample y per quad
     fdata_ref,   # (1, E, FREC_F) sorted fast records (block, auto-pipelined)
+                 # rec_flat: (1, P, 16, 128) compact field-major panels
     out_ref,     # pooled: (1, NQ, lanes4); raw: (1, NQ, 4, lanes4)
-    *,
+    *scratch,    # rec_flat: one (P*128, 16) VMEM record scratch
     num_quads: int,
     quad: int,
     chunk: int,
     smem_blocks: bool,
     pool_clamp: float | None,
     split_main: int = 1,
+    rec_flat: bool = False,
 ):
     """Parity-factored fast kernel (bin_rows row-quad layout only).
 
@@ -620,6 +655,16 @@ def _raster_kernel_fast_paired(
 
     x_row = xcoord_ref[0, :][None, :]  # (1, lanes4), same for every quad
 
+    if rec_flat:
+        # Relayout the compact record panels (field-major, faces on lanes)
+        # into face-major scratch rows ONCE per image; every chunk then
+        # slices (chunk, 16) rows at the usual 8-aligned offsets. The
+        # (16, 128) vector transpose is Mosaic-native; P ~ E/128 of them
+        # amortize over ~80 chunk iterations.
+        (rec_scratch,) = scratch
+        for p in range(fdata_ref.shape[1]):
+            rec_scratch[pl.ds(p * 128, 128), :] = fdata_ref[0, p, :, :].T
+
     def quad_body(q, _):
         y = ycoord_ref[q, :][None, :]  # (1, lanes4) even-row y
 
@@ -628,7 +673,10 @@ def _raster_kernel_fast_paired(
 
             def chunk_fast(i, zbufs):
                 off = pl.multiple_of(aligned_rs + i * chunk, 8)
-                f = fdata_ref[0, pl.ds(off, chunk), :]  # (chunk, FREC_F)
+                if rec_flat:
+                    f = rec_scratch[pl.ds(off, chunk), :]  # (chunk, 16)
+                else:
+                    f = fdata_ref[0, pl.ds(off, chunk), :]  # (chunk, FREC_F)
 
                 def col(k):
                     return f[:, k][:, None]  # (chunk, 1)
@@ -792,6 +840,7 @@ def _raster_kernel_exact(
         "width", "height", "tiles_x", "tiles_y", "interpret", "exact",
         "valid_frac", "pool_clamp", "smem_block_starts", "bilinear_grid",
         "chunk_override", "_diag_stub", "_diag_split_main", "_diag_pack4",
+        "_diag_rec_flat",
     ),
 )
 def rasterize_depth_binned(
@@ -812,6 +861,7 @@ def rasterize_depth_binned(
     _diag_stub: bool = False,
     _diag_split_main: int = 1,
     _diag_pack4: bool = False,
+    _diag_rec_flat: bool = False,
     planes: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Tile-binned Pallas rasterization at integer sample positions.
@@ -1046,6 +1096,8 @@ def rasterize_depth_binned(
     # rows. When the mesh has that many faces to spare, slice them instead of
     # padding: rows past the nondump count are dump rows, already zeroed.
     target = keep + (-keep) % chunk + chunk
+    if paired and _diag_rec_flat:
+        target = -(-target // 128) * 128  # whole (16, 128) record panels
     take = min(target, num_faces)
     sc = [op[:, :take] for op in sorted_ops]
     if paired and _diag_pack4:
@@ -1078,9 +1130,11 @@ def rasterize_depth_binned(
         px, py, pz = sc[1:4], sc[4:7], sc[7:10]
     if exact:
         fdata = _build_records_exact(px, py, pz, width)
+    elif paired and _diag_rec_flat:
+        fdata = _build_records_fast_panels(px, py, pz, target)
     else:
         fdata = _build_records_fast(px, py, pz)
-    if target > num_faces:
+    if not (paired and _diag_rec_flat) and target > num_faces:
         fdata = jnp.pad(fdata, ((0, 0), (0, target - num_faces), (0, 0)))
 
     # Per-quad sample coordinate tables (NT/quad, quad*64). The kernel's
@@ -1167,8 +1221,10 @@ def rasterize_depth_binned(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, fdata.shape[1], fdata.shape[2]),
-                lambda b, *_: (b, 0, 0),
+                (1,) + fdata.shape[1:],
+                (lambda b, *_: (b, 0, 0, 0))
+                if fdata.ndim == 4
+                else (lambda b, *_: (b, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -1178,6 +1234,11 @@ def rasterize_depth_binned(
             if len(out_block) == 4
             else (lambda b, *_: (b, 0, 0)),
             memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((target, 16), jnp.float32)]
+            if paired and _diag_rec_flat
+            else []
         ),
     )
     if exact:
@@ -1201,6 +1262,7 @@ def rasterize_depth_binned(
             smem_blocks=smem_blocks,
             pool_clamp=pool_clamp,
             split_main=_diag_split_main,
+            rec_flat=_diag_rec_flat,
         )
     else:
         kernel = functools.partial(

@@ -288,3 +288,21 @@ def test_planes_front_end_matches_face_verts_on_hand(hand_model):
     # pool block mixes background into the mean — same tolerance class as
     # the on-chip fast-vs-exact artifact (fast_p99 < 0.5 mm).
     assert np.percentile(diff, 99) < 0.5
+
+
+def test_panel_records_bit_identical(hand_model):
+    """The compact panel-record layout (_diag_rec_flat: (B, P, 16, 128)
+    field-major panels + in-kernel per-panel transpose) is a pure layout
+    change: the paired fast kernel must produce bit-identical output (also
+    verified compiled on-chip — PERF.md round 4)."""
+    fv = _hand_faces(hand_model, jax.random.key(9), 2)
+    samples = jnp.asarray(bilinear_sample_positions(64, 10))
+    kw = dict(exact=False, interpret=True, pool_clamp=100.0,
+              bilinear_grid=(64, 10), valid_frac=0.62)
+    base = np.asarray(rasterize_depth_binned(fv, samples, samples, **kw))
+    flat = np.asarray(
+        rasterize_depth_binned(
+            fv, samples, samples, _diag_rec_flat=True, **kw
+        )
+    )
+    np.testing.assert_array_equal(base, flat)
