@@ -82,3 +82,21 @@ def test_pretrained_synthetic_artifact():
     joints = est.predict(np.asarray(synt.dms) * 100.0)
     err = np.linalg.norm(joints - np.asarray(synt.xyz), axis=-1).mean()
     assert err < 25.0, f"pretrained artifact error {err:.1f} mm"
+
+
+def test_chunked_serving_matches_monolithic():
+    """Large batches scan over serve_chunk-sized chunks inside the jit
+    (XLA layout pathology at large B, PERF.md round 4); chunking and the
+    ragged-tail padding must not change per-sample results."""
+    import numpy as np
+
+    from spherehand_tpu.infer import PoseEstimator, load_params_npz
+
+    params = load_params_npz("assets/pretrained/synthetic_params.npz")
+    rng = np.random.RandomState(3)
+    dms = np.full((5, 64, 64), 100.0, np.float32)
+    dms[:, 20:44, 20:44] = rng.uniform(20, 60, (5, 24, 24))
+
+    mono = PoseEstimator(params, denoise=True, serve_chunk=8).predict(dms)
+    chunked = PoseEstimator(params, denoise=True, serve_chunk=2).predict(dms)
+    np.testing.assert_allclose(chunked, mono, atol=1e-4)
