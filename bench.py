@@ -65,6 +65,7 @@ def main() -> None:
     from tools.profile_train import measure_combined_steps_per_sec
 
     train_sps = measure_combined_steps_per_sec()
+    train_sps_bf16 = measure_combined_steps_per_sec(bf16=True)
 
     print(
         json.dumps(
@@ -80,6 +81,12 @@ def main() -> None:
                 "full_fps": round(float(full_fast), 2),
                 "full_exact_fps": round(float(full_exact), 2),
                 "train_combined_steps_per_sec": round(float(train_sps), 2),
+                # bf16 = the recommended production training dtype (conv
+                # compute bf16, params/losses f32; converges equivalently
+                # to f32 at the 75k-step scale — PERF.md round 3).
+                "train_combined_bf16_steps_per_sec": round(
+                    float(train_sps_bf16), 2
+                ),
                 "batch": BATCH,
             }
         )

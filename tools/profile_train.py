@@ -42,7 +42,8 @@ def _fake_real_batch(real_batch: int) -> RealBatch:
     )
 
 
-def measure_combined_steps_per_sec(iters: int = 20, repeats: int = 3) -> float:
+def measure_combined_steps_per_sec(iters: int = 20, repeats: int = 3,
+                                   bf16: bool = False) -> float:
     """Steps/sec of the full combined self-supervised step at the reference
     batch geometry (48 synt + 25 real x 3 views) — bench.py's second metric.
 
@@ -50,8 +51,12 @@ def measure_combined_steps_per_sec(iters: int = 20, repeats: int = 3) -> float:
     --steps_per_call path works the same way) and the best of ``repeats``
     dispatches is reported: the measurement environment's per-dispatch
     tunnel latency is volatile, and per-call timing measures the tunnel,
-    not the chip."""
-    cfg = EngineConfig(synt_batch=48, real_batch=25, num_stacks=1)
+    not the chip.
+
+    bf16=True measures the recommended production training dtype (conv
+    compute in bfloat16, params/losses f32 — converges equivalently to f32
+    at the 75k-step scale, tests/goldens/lite_mesh_e2e.json)."""
+    cfg = EngineConfig(synt_batch=48, real_batch=25, num_stacks=1, bf16=bf16)
     steps = build_steps(cfg, load_hand_model())
     state = steps.init_state(jax.random.key(0))
     batch = _fake_real_batch(25)
