@@ -927,9 +927,15 @@ def rasterize_depth_binned(
     dump = num_buckets + 1
 
     # Per-bucket range starts: histogram prefix sums of the small-domain keys
-    # (searchsorted's while-loop lowering is slow on TPU).
+    # (searchsorted's while-loop lowering is slow on TPU). The compare-all
+    # reduction re-reads the key array once per bucket (34x at row
+    # granularity), so hand it u8 keys materialized behind an optimization
+    # barrier — without the barrier XLA fuses the convert into the loop and
+    # reads the s32 originals 34x (measured 0.48 -> ~0.15 ms at B=1024).
+    small_t = jnp.uint8 if num_buckets + 2 <= 255 else jnp.uint16
+    keys_small = jax.lax.optimization_barrier(keys.astype(small_t))
     counts = jnp.sum(
-        keys[:, :, None] == jnp.arange(num_buckets + 2, dtype=jnp.int32),
+        keys_small[:, :, None] == jnp.arange(num_buckets + 2, dtype=small_t),
         axis=1,
         dtype=jnp.int32,
     )
