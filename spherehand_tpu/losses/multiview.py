@@ -62,8 +62,21 @@ def mutual_projection(
     mats = jax.lax.stop_gradient(mutual_transforms(poses, inv_poses))
     projected = apply_rigid(mats, joints[:, :, None])
     # projected: (B, V, V, J, 3)
-    part_maps = render_spheres(projected, radii, size)  # (B, V, V, J, S, S)
-    depth_maps = jnp.min(part_maps, axis=-3)
+    from spherehand_tpu.render.sphere import _fuse_spheres
+
+    if _fuse_spheres(size):
+        # Fused Pallas min-depth render: no (B, V, V, J, S, S) intermediate
+        # in either pass (render/sphere_pallas.py; ~2 ms/step at the
+        # reference geometry).
+        from spherehand_tpu.render.sphere_pallas import sphere_min_depth
+
+        b, vi, vj, num_j, _ = projected.shape
+        depth_maps = sphere_min_depth(
+            projected.reshape(b * vi * vj, num_j, 3), radii, size
+        ).reshape(b, vi, vj, size, size)
+    else:
+        part_maps = render_spheres(projected, radii, size)  # (B,V,V,J,S,S)
+        depth_maps = jnp.min(part_maps, axis=-3)
     return depth_maps, projected
 
 

@@ -17,11 +17,25 @@ Semantics preserved exactly:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from spherehand_tpu.constants import Constants
 
 _C = Constants()
+
+
+def _fuse_spheres(size: int) -> bool:
+    """Route through the fused Pallas kernels (render/sphere_pallas.py)?
+
+    True on TPU for lane-divisible canvases: the fused forward is
+    numerically equivalent to the XLA path here (same expression order;
+    differences are compiler fp-contraction ulps) and the custom VJP
+    matches autodiff to ~5e-6 relative (tests/test_sphere_pallas.py),
+    while avoiding the (N, J, S, S) HBM intermediates in both passes.
+    CPU keeps the pure-XLA path (the oracle the goldens pin).
+    """
+    return jax.default_backend() == "tpu" and (size * size) % 128 == 0
 
 
 def _mm_grid(height: int, width: int, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -87,6 +101,21 @@ def data_to_model_distance(
     """
     dtype = depth_maps.dtype
     height, width = depth_maps.shape[-2:]
+    if height == width and depth_maps.ndim >= 3 and _fuse_spheres(height):
+        # Fused Pallas nearest-surface field: no (..., J, H, W) HBM
+        # intermediates in either pass (render/sphere_pallas.py). The
+        # depth input is observed data at every call site (no gradient).
+        from spherehand_tpu.ops.reduce import bmean
+        from spherehand_tpu.render.sphere_pallas import d2m_nearest
+
+        lead = depth_maps.shape[:-2]
+        nearest = d2m_nearest(
+            depth_maps.reshape((-1, height, width)),
+            centers.reshape((-1,) + centers.shape[-2:]),
+            radii,
+            height,
+        ).reshape(lead + (height, width))
+        return bmean(jnp.clip(nearest, 0.0, 50.0), weights)
     x_grid, y_grid = _mm_grid(height, width, dtype)
     z = depth_maps  # (..., H, W)
     # ||p||^2 per pixel and p.c per (joint, pixel).
