@@ -342,8 +342,12 @@ def main() -> None:
         "after_raw_mm": round(float(after["avg_joint_error_raw"]), 3),
         "backend": str(jax.devices()[0]),
     }
+    # Default OUTSIDE tests/goldens: an exploratory run must not replace the
+    # committed artifact (same guard tools/lite_mesh_e2e.py got after the
+    # round-2 advice; pass --artifact tests/goldens/... explicitly to
+    # refresh the golden).
     art = args.artifact or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "tests", "goldens",
+        args.out,
         "selfsup_ablation.json" if args.no_mv else "selfsup_demo.json",
     )
     with open(art, "w") as f:
