@@ -9,10 +9,13 @@ the reference batch geometry (the two biggest ops in the combined-step
 device trace, PERF.md round 4).
 
 These kernels keep the J loop in registers: one program per image computes
-the min-depth (or nearest-distance) plane plus the argmin sphere index, and
-the custom-VJP backward replays the J loop against the stored argmin to
-accumulate per-sphere center gradients — the only HBM traffic is the
-(N, S, S) planes themselves.
+the min-depth (or nearest-distance) plane plus the argmin sphere index AND
+a per-pixel gradient-weight plane (the argmin sphere's ``1/||p - c||``
+factor, zeroed outside the differentiable region), and the custom-VJP
+backward reduces against the stored planes — its J loop is four masked
+sums per sphere (the winning sphere's contribution factors as
+``c_j * sum(A) - sum(A * grid)``), with no per-sphere field recompute and
+no transcendentals. The only HBM traffic is the (N, S, S) planes.
 
 Numerics: the forward expression order replicates
 :func:`spherehand_tpu.render.sphere.render_spheres` /
@@ -64,62 +67,69 @@ def _grid_rows(size: int):
     return ((u - half) * _C.cube_mm) / size, ((v - half) * _C.cube_mm) / size
 
 
-def _sphere_fields(cref, n_pad, j, xg, yg):
-    """Per-sphere depth plane, replicating render_spheres' expression order."""
-    cx = cref[0, j, 0]
-    cy = cref[0, j, 1]
-    cz = cref[0, j, 2]
-    r = cref[0, j, 3]
-    sq = r * r - (xg - cx) ** 2 - (yg - cy) ** 2
-    sqc = jnp.maximum(sq, 1e-2)
-    inside = sq > 1e-2
-    depth = cz - jnp.sqrt(sqc)
-    return jnp.where(inside, depth, _C.background_depth), inside, sqc, cx, cy
-
-
-def _min_depth_fwd_kernel(cref, depth_ref, amin_ref, *, num_j, size):
+def _min_depth_fwd_kernel(cref, depth_ref, amin_ref, w_ref, *, num_j, size):
     xg, yg = _grid_rows(size)
     best = jnp.full(xg.shape, jnp.inf, jnp.float32)
     bestj = jnp.zeros(xg.shape, jnp.int32)
+    best_sq = jnp.zeros(xg.shape, jnp.float32)
 
     for j in range(num_j):
-        d, _, _, _, _ = _sphere_fields(cref, None, j, xg, yg)
+        cx = cref[0, j, 0]
+        cy = cref[0, j, 1]
+        cz = cref[0, j, 2]
+        r = cref[0, j, 3]
+        sq = r * r - (xg - cx) ** 2 - (yg - cy) ** 2
+        depth = cz - jnp.sqrt(jnp.maximum(sq, 1e-2))
+        d = jnp.where(sq > 1e-2, depth, _C.background_depth)
         upd = d < best
         best = jnp.where(upd, d, best)
         bestj = jnp.where(upd, j, bestj)
+        best_sq = jnp.where(upd, sq, best_sq)
     depth_ref[0, :, :] = best
     amin_ref[0, :, :] = bestj
+    # Gradient weight of the winning sphere: 1/sqrt(clip(sq)) inside the
+    # (unclipped) silhouette, 0 elsewhere — where(inside, depth, bg) and
+    # sqc = max(sq, 1e-2) pass gradient only there, exactly like autodiff
+    # through jnp.where + jnp.clip(min=...).
+    w_ref[0, :, :] = jnp.where(
+        best_sq > 1e-2, jax.lax.rsqrt(jnp.maximum(best_sq, 1e-2)), 0.0
+    )
 
 
-def _min_depth_bwd_kernel(cref, g_ref, amin_ref, out_ref, *, num_j, size):
+def _min_depth_bwd_kernel(cref, g_ref, amin_ref, w_ref, out_ref, *, num_j, size):
     xg, yg = _grid_rows(size)
     g = g_ref[0, :, :]
     amin = amin_ref[0, :, :]
+    w = w_ref[0, :, :]
+    # depth = cz - sqrt(sqc); d depth / d cx = (cx - xg) / sqrt(sqc). With
+    # A = g * w (w = the stored 1/sqrt(sqc) of the winning sphere, 0 outside
+    # its silhouette), the winning sphere's gradient factors as
+    # gx_j = cx * sum_sel(A) - sum_sel(A * xg) — no field recompute.
+    a = g * w
+    ax = a * xg
+    ay = a * yg
+    c = jnp.where(w > 0.0, g, 0.0)  # d depth / d cz = 1 inside
     for j in range(num_j):
-        d, inside, sqc, cx, cy = _sphere_fields(cref, None, j, xg, yg)
-        # where(inside, depth, bg) and sqc = max(sq, 1e-2): gradient flows
-        # only inside the (unclipped) silhouette, exactly like autodiff
-        # through jnp.where + jnp.clip(min=...).
-        sel = (amin == j) & inside
-        gm = jnp.where(sel, g, 0.0)
-        inv = jax.lax.rsqrt(sqc)
-        # depth = cz - sqrt(sqc); dsq/dcx = +2 (xg - cx), so
-        # d depth / d cx = -(xg - cx) / sqrt(sqc).
-        gx = jnp.sum(gm * ((cx - xg) * inv))
-        gy = jnp.sum(gm * ((cy - yg) * inv))
-        gz = jnp.sum(gm)
-        out_ref[0, j, 0] = gx
-        out_ref[0, j, 1] = gy
-        out_ref[0, j, 2] = gz
+        sel = amin == j
+        s_a = jnp.sum(jnp.where(sel, a, 0.0))
+        out_ref[0, j, 0] = cref[0, j, 0] * s_a - jnp.sum(
+            jnp.where(sel, ax, 0.0)
+        )
+        out_ref[0, j, 1] = cref[0, j, 1] * s_a - jnp.sum(
+            jnp.where(sel, ay, 0.0)
+        )
+        out_ref[0, j, 2] = jnp.sum(jnp.where(sel, c, 0.0))
 
 
-def _d2m_fwd_kernel(cref, z_ref, dist_ref, amin_ref, *, num_j, size):
+def _d2m_fwd_kernel(cref, z_ref, dist_ref, amin_ref, w_ref, *, num_j, size):
     xg, yg = _grid_rows(size)
     z = z_ref[0, :, :]
     p_sq = xg * xg + yg * yg + z * z
     background = z > 99.0
     best = jnp.full(xg.shape, jnp.inf, jnp.float32)
     bestj = jnp.zeros(xg.shape, jnp.int32)
+    best_raw = jnp.zeros(xg.shape, jnp.float32)
+    best_r = jnp.zeros(xg.shape, jnp.float32)
     for j in range(num_j):
         cx = cref[0, j, 0]
         cy = cref[0, j, 1]
@@ -127,41 +137,51 @@ def _d2m_fwd_kernel(cref, z_ref, dist_ref, amin_ref, *, num_j, size):
         r = cref[0, j, 3]
         c_sq = cx * cx + cy * cy + cz * cz
         p_dot_c = xg * cx + yg * cy + z * cz
-        sq_dist = jnp.maximum(p_sq - 2.0 * p_dot_c + c_sq, 1e-6)
+        raw = p_sq - 2.0 * p_dot_c + c_sq
+        sq_dist = jnp.maximum(raw, 1e-6)
         dist = jnp.abs(jnp.sqrt(sq_dist) - r)
         dist = jnp.where(background, 0.0, dist)
         upd = dist < best
         best = jnp.where(upd, dist, best)
         bestj = jnp.where(upd, j, bestj)
+        best_raw = jnp.where(upd, raw, best_raw)
+        best_r = jnp.where(upd, r, best_r)
     dist_ref[0, :, :] = best
     amin_ref[0, :, :] = bestj
+    # Gradient weight of the winning sphere: dist = |root - r| with
+    # root = sqrt(max(raw, 1e-6)), so d dist/d c = sign(root - r)(c - p)/root
+    # — zero where the sq-dist floor clips (matches jnp.maximum autodiff).
+    root = jnp.sqrt(jnp.maximum(best_raw, 1e-6))
+    w_ref[0, :, :] = jnp.where(
+        best_raw < 1e-6, 0.0, jnp.sign(root - best_r) / root
+    )
 
 
-def _d2m_bwd_kernel(cref, z_ref, g_ref, amin_ref, out_ref, *, num_j, size):
+def _d2m_bwd_kernel(cref, z_ref, g_ref, amin_ref, w_ref, out_ref, *, num_j, size):
     xg, yg = _grid_rows(size)
     z = z_ref[0, :, :]
-    p_sq = xg * xg + yg * yg + z * z
     background = z > 99.0
     g = jnp.where(background, 0.0, g_ref[0, :, :])
     amin = amin_ref[0, :, :]
+    # The winning sphere's gradient gm * (c - p) factors through the stored
+    # weight plane as c_j * sum_sel(A) - sum_sel(A * p) — four masked sums
+    # per sphere, no field recompute.
+    a = g * w_ref[0, :, :]
+    ax = a * xg
+    ay = a * yg
+    az = a * z
     for j in range(num_j):
-        cx = cref[0, j, 0]
-        cy = cref[0, j, 1]
-        cz = cref[0, j, 2]
-        r = cref[0, j, 3]
-        c_sq = cx * cx + cy * cy + cz * cz
-        p_dot_c = xg * cx + yg * cy + z * cz
-        sq_dist = p_sq - 2.0 * p_dot_c + c_sq
-        clipped = sq_dist < 1e-6
-        sq_dist = jnp.maximum(sq_dist, 1e-6)
-        root = jnp.sqrt(sq_dist)
-        # dist = |root - r|; d dist/d c = sign(root - r) * (c - p) / root,
-        # zero where the sq-dist floor clips (matches jnp.maximum autodiff).
-        sel = (amin == j) & ~clipped
-        gm = jnp.where(sel, g * jnp.sign(root - r) / root, 0.0)
-        out_ref[0, j, 0] = jnp.sum(gm * (cx - xg))
-        out_ref[0, j, 1] = jnp.sum(gm * (cy - yg))
-        out_ref[0, j, 2] = jnp.sum(gm * (cz - z))
+        sel = amin == j
+        s_a = jnp.sum(jnp.where(sel, a, 0.0))
+        out_ref[0, j, 0] = cref[0, j, 0] * s_a - jnp.sum(
+            jnp.where(sel, ax, 0.0)
+        )
+        out_ref[0, j, 1] = cref[0, j, 1] * s_a - jnp.sum(
+            jnp.where(sel, ay, 0.0)
+        )
+        out_ref[0, j, 2] = cref[0, j, 2] * s_a - jnp.sum(
+            jnp.where(sel, az, 0.0)
+        )
 
 
 def _pack_centers(centers, radii):
@@ -205,18 +225,19 @@ def _min_depth_fwd(centers, radii, size, interpret):
     n, num_j = centers.shape[0], centers.shape[1]
     rows = size * size // _LANES
     packed = _pack_centers(centers, radii)
-    depth, amin = pl.pallas_call(
+    depth, amin, w = pl.pallas_call(
         functools.partial(_min_depth_fwd_kernel, num_j=num_j, size=size),
         grid=(n,),
         in_specs=[_smem_spec(num_j)],
-        out_specs=[_plane_spec(rows), _plane_spec(rows)],
+        out_specs=[_plane_spec(rows), _plane_spec(rows), _plane_spec(rows)],
         out_shape=[
             jax.ShapeDtypeStruct((n, rows, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((n, rows, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n, rows, _LANES), jnp.float32),
         ],
         interpret=interpret,
     )(packed)
-    return depth.reshape(n, size, size), (packed, amin)
+    return depth.reshape(n, size, size), (packed, amin, w)
 
 
 def _min_depth_fwd_rule(centers, radii, size, interpret):
@@ -225,7 +246,7 @@ def _min_depth_fwd_rule(centers, radii, size, interpret):
 
 
 def _min_depth_bwd_rule(size, interpret, res, g):
-    packed, amin = res
+    packed, amin, w = res
     n, num_j = packed.shape[0], packed.shape[1]
     rows = size * size // _LANES
     grads = pl.pallas_call(
@@ -235,11 +256,12 @@ def _min_depth_bwd_rule(size, interpret, res, g):
             _smem_spec(num_j),
             _plane_spec(rows),
             _plane_spec(rows),
+            _plane_spec(rows),
         ],
         out_specs=_grads_spec(num_j),
         out_shape=jax.ShapeDtypeStruct((n, num_j, 4), jnp.float32),
         interpret=interpret,
-    )(packed, g.reshape(n, rows, _LANES).astype(jnp.float32), amin)
+    )(packed, g.reshape(n, rows, _LANES).astype(jnp.float32), amin, w)
     # radii are constants everywhere in the reference loss stack; a zero
     # cotangent (rather than a real derivative) is documented API.
     return grads[..., :3].astype(packed.dtype), jnp.zeros(
@@ -268,18 +290,19 @@ def _d2m_fwd(depth_maps, centers, radii, size, interpret):
     rows = size * size // _LANES
     packed = _pack_centers(centers, radii)
     z = depth_maps.reshape(n, rows, _LANES).astype(jnp.float32)
-    dist, amin = pl.pallas_call(
+    dist, amin, w = pl.pallas_call(
         functools.partial(_d2m_fwd_kernel, num_j=num_j, size=size),
         grid=(n,),
         in_specs=[_smem_spec(num_j), _plane_spec(rows)],
-        out_specs=[_plane_spec(rows), _plane_spec(rows)],
+        out_specs=[_plane_spec(rows), _plane_spec(rows), _plane_spec(rows)],
         out_shape=[
             jax.ShapeDtypeStruct((n, rows, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((n, rows, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n, rows, _LANES), jnp.float32),
         ],
         interpret=interpret,
     )(packed, z)
-    return dist.reshape(n, size, size), (packed, z, amin)
+    return dist.reshape(n, size, size), (packed, z, amin, w)
 
 
 def _d2m_fwd_rule(depth_maps, centers, radii, size, interpret):
@@ -288,7 +311,7 @@ def _d2m_fwd_rule(depth_maps, centers, radii, size, interpret):
 
 
 def _d2m_bwd_rule(size, interpret, res, g):
-    packed, z, amin = res
+    packed, z, amin, w = res
     n, num_j = packed.shape[0], packed.shape[1]
     rows = size * size // _LANES
     grads = pl.pallas_call(
@@ -299,11 +322,12 @@ def _d2m_bwd_rule(size, interpret, res, g):
             _plane_spec(rows),
             _plane_spec(rows),
             _plane_spec(rows),
+            _plane_spec(rows),
         ],
         out_specs=_grads_spec(num_j),
         out_shape=jax.ShapeDtypeStruct((n, num_j, 4), jnp.float32),
         interpret=interpret,
-    )(packed, z, g.reshape(n, rows, _LANES).astype(jnp.float32), amin)
+    )(packed, z, g.reshape(n, rows, _LANES).astype(jnp.float32), amin, w)
     return (
         jnp.zeros((n, size, size), packed.dtype),  # depth is data (docstring)
         grads[..., :3].astype(packed.dtype),
