@@ -6,14 +6,15 @@ maps — in frames/sec on the default JAX device. The reference never measured
 this (its render bench is commented out, mesh/render.py:341-372); the
 driver's north-star target is 50k frames/sec/chip (BASELINE.md).
 
-``value`` is the PRODUCTION synthetic-training-data configuration: the
-decimated lite mesh (tools/make_lite_mesh.py — validated end-to-end: a 75k
--step pretraining on lite renders matches full-mesh training within ~0.2 mm
-on full-mesh held-out evaluation) in the fast half-plane coverage mode.
-Every other configuration rides along, labeled:
-  - ``full_fps`` / ``full_exact_fps``: the full 3,382-triangle reference
-    mesh (the CUDA-parity-comparable geometry);
-  - ``lite_exact_fps``: lite mesh, scanline-exact CUDA span rules;
+``value`` is the STOCK parity configuration: the full 3,382-triangle
+reference mesh in the fast half-plane coverage mode (the production
+training-data path; its statistical contract vs exact CUDA coverage is
+pinned in tests/test_raster_adversarial.py and documented in
+render/raster_pallas.py). Every other configuration rides along, labeled:
+  - ``lite_fps`` / ``lite_exact_fps``: the decimated lite mesh
+    (tools/make_lite_mesh.py — validated end-to-end: a 75k-step
+    pretraining on lite renders matches full-mesh training within ~0.2 mm
+    on full-mesh held-out evaluation) — a documented opt-in speedup;
   - ``exact`` = bit-matching the reference CUDA kernel's coverage rules,
     ``fast`` = half-plane coverage (identical depths, boundary pixels may
     differ — the training-data production default).
@@ -71,15 +72,16 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "depth_render_throughput",
-                "value": round(float(lite_fast), 2),
+                "value": round(float(full_fast), 2),
                 "unit": "frames/sec",
-                "vs_baseline": round(float(lite_fast) / TARGET_FPS, 4),
-                # Headline configuration — rounds 1-2 reported the full
-                # mesh (full_fps below is the like-for-like number).
-                "mesh": "lite-1700",
-                "lite_exact_fps": round(float(lite_exact), 2),
-                "full_fps": round(float(full_fast), 2),
+                "vs_baseline": round(float(full_fast) / TARGET_FPS, 4),
+                # Headline = the stock reference mesh (the parity
+                # configuration); the lite mesh rides along as the
+                # documented opt-in speedup.
+                "mesh": "full-3382",
                 "full_exact_fps": round(float(full_exact), 2),
+                "lite_fps": round(float(lite_fast), 2),
+                "lite_exact_fps": round(float(lite_exact), 2),
                 "train_combined_steps_per_sec": round(float(train_sps), 2),
                 # bf16 = the recommended production training dtype (conv
                 # compute bf16, params/losses f32; converges equivalently

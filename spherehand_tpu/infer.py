@@ -46,11 +46,15 @@ class PoseEstimator:
         crops at B=128 vs inside B=1024 differ up to ~5 mm on ambiguous
         samples, mean ~0.1 mm — same magnitude chunked or not); the
         shipped eval numbers are measured through this same path.
+    precision: conv pass precision. ``None`` = backend default (TPU: bf16
+        passes, fastest, with the batch-composition dependence above);
+        ``"highest"`` = true-f32 passes, batch-invariant parity-grade
+        outputs (~3x conv cost; used by tools/parity_eval.py).
     """
 
     def __init__(self, params: Any, num_stacks: int = 1, denoise: bool = True,
-                 serve_chunk: int = 128):
-        self.network = make_network(num_stacks)
+                 serve_chunk: int = 128, precision: Any = None):
+        self.network = make_network(num_stacks, precision=precision)
         self.params = params
         self.denoise = denoise
         self.serve_chunk = serve_chunk

@@ -42,15 +42,22 @@ class EstimatorOutput(NamedTuple):
     real_latent: tuple  # each (Br*V, h, w, C)
 
 
-def make_network(num_stacks: int, dtype=None) -> HourglassNet:
+def make_network(num_stacks: int, dtype=None, precision=None) -> HourglassNet:
     """dtype: conv compute dtype; jnp.bfloat16 drives the MXU at full rate
-    while heads, soft-argmax, and the loss stack stay float32."""
+    while heads, soft-argmax, and the loss stack stay float32.
+
+    precision: conv pass precision. TPU's default for f32 convs is bf16
+    passes — fast, but per-sample outputs depend on batch composition by up
+    to ~5 mm on ambiguous samples (infer.py). ``"highest"`` forces true-f32
+    passes: parity-grade determinism for eval at ~3x the conv cost.
+    """
     import jax.numpy as jnp
 
     return HourglassNet(
         num_stacks=num_stacks,
         num_outputs=2 * _C.num_joints,
         dtype=dtype or jnp.float32,
+        precision=precision,
     )
 
 

@@ -38,33 +38,43 @@ class Bottleneck(nn.Module):
     """Pre-activation GroupNorm bottleneck, expansion 2 (hourglass.py:7-41).
 
     ``dtype`` sets the conv compute dtype (bfloat16 drives the MXU at full
-    rate); GroupNorm statistics stay float32 for stability.
+    rate); GroupNorm statistics stay float32 for stability. ``precision``
+    sets the conv pass precision: TPU default for f32 convs is bf16 passes
+    (fast, but per-sample outputs become batch-composition dependent up to
+    ~5 mm on ambiguous samples — infer.py); ``"highest"`` forces true-f32
+    passes for parity-grade eval.
     """
 
     planes: int
     stride: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.precision
         y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn1")(x)
         y = nn.relu(y)
-        y = TorchConv(self.planes, (1, 1), dtype=self.dtype, name="conv1")(y)
+        y = TorchConv(
+            self.planes, (1, 1), dtype=self.dtype, precision=p, name="conv1"
+        )(y)
         y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn2")(y)
         y = nn.relu(y)
         y = TorchConv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=1, dtype=self.dtype, name="conv2",
+            padding=1, dtype=self.dtype, precision=p, name="conv2",
         )(y)
         y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn3")(y)
         y = nn.relu(y)
-        y = TorchConv(self.planes * 2, (1, 1), dtype=self.dtype, name="conv3")(y)
+        y = TorchConv(
+            self.planes * 2, (1, 1), dtype=self.dtype, precision=p, name="conv3"
+        )(y)
         residual = x.astype(y.dtype)
         if self.downsample:
             residual = TorchConv(
                 self.planes * 2, (1, 1), strides=(self.stride, self.stride),
-                dtype=self.dtype, name="down",
+                dtype=self.dtype, precision=p, name="down",
             )(x)
         return y + residual
 
@@ -85,6 +95,7 @@ class Hourglass(nn.Module):
     planes: int = 128
     depth: int = 2
     dtype: jnp.dtype = jnp.float32
+    precision: Any = None
 
     def setup(self):
         blocks = {}
@@ -92,7 +103,8 @@ class Hourglass(nn.Module):
             n_res = 4 if i == 0 else 3
             for j in range(n_res):
                 blocks[f"b{i}_{j}"] = Bottleneck(
-                    self.planes, dtype=self.dtype, name=f"b{i}_{j}"
+                    self.planes, dtype=self.dtype, precision=self.precision,
+                    name=f"b{i}_{j}",
                 )
         self.blocks = blocks
 
@@ -123,6 +135,7 @@ class HourglassNet(nn.Module):
     num_outputs: int = 82
     feats: int = 128
     dtype: jnp.dtype = jnp.float32
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple[list[jnp.ndarray], list[jnp.ndarray]]:
@@ -130,28 +143,38 @@ class HourglassNet(nn.Module):
             x = x[..., None]  # (B, H, W) depth map -> single channel
         ch = self.feats * 2
         dt = self.dtype
-        x = TorchConv(64, (5, 5), strides=(2, 2), padding=2, dtype=dt, name="conv1")(x)
+        p = self.precision
+        x = TorchConv(
+            64, (5, 5), strides=(2, 2), padding=2, dtype=dt, precision=p,
+            name="conv1",
+        )(x)
         x = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="gn1")(x)
         x = nn.relu(x)
-        x = Bottleneck(64, downsample=True, dtype=dt, name="layer1")(x)
+        x = Bottleneck(64, downsample=True, dtype=dt, precision=p, name="layer1")(x)
         x = _max_pool2(x)
-        x = Bottleneck(128, downsample=True, dtype=dt, name="layer2")(x)
-        x = Bottleneck(self.feats, dtype=dt, name="layer3")(x)
+        x = Bottleneck(128, downsample=True, dtype=dt, precision=p, name="layer2")(x)
+        x = Bottleneck(self.feats, dtype=dt, precision=p, name="layer3")(x)
 
         scores, latents = [], []
         for i in range(self.num_stacks):
-            y, latent = Hourglass(self.feats, dtype=dt, name=f"hg{i}")(x)
-            y = Bottleneck(self.feats, dtype=dt, name=f"res{i}")(y)
-            y = TorchConv(ch, (1, 1), dtype=dt, name=f"fc_conv{i}")(y)
+            y, latent = Hourglass(self.feats, dtype=dt, precision=p, name=f"hg{i}")(x)
+            y = Bottleneck(self.feats, dtype=dt, precision=p, name=f"res{i}")(y)
+            y = TorchConv(ch, (1, 1), dtype=dt, precision=p, name=f"fc_conv{i}")(y)
             y = nn.GroupNorm(num_groups=16, epsilon=1e-5, name=f"fc_gn{i}")(y)
             y = nn.relu(y)
-            score = TorchConv(self.num_outputs, (1, 1), dtype=dt, name=f"score{i}")(y)
+            score = TorchConv(
+                self.num_outputs, (1, 1), dtype=dt, precision=p, name=f"score{i}"
+            )(y)
             # heads and everything downstream (soft-argmax, losses) stay f32
             scores.append(score.astype(jnp.float32))
             latents.append(latent.astype(jnp.float32))
             if i < self.num_stacks - 1:
-                fc_ = TorchConv(ch, (1, 1), dtype=dt, name=f"inter_fc{i}")(y)
-                score_ = TorchConv(ch, (1, 1), dtype=dt, name=f"inter_score{i}")(score)
+                fc_ = TorchConv(
+                    ch, (1, 1), dtype=dt, precision=p, name=f"inter_fc{i}"
+                )(y)
+                score_ = TorchConv(
+                    ch, (1, 1), dtype=dt, precision=p, name=f"inter_score{i}"
+                )(score)
                 x = x + fc_ + score_
         return scores, latents
 

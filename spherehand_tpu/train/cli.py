@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_call", default=1, type=int,
                    help="combined-epoch steps scanned per dispatch "
                         "(same math as 1; >1 amortizes host round trips)")
+    p.add_argument("--eval_precision", default="default",
+                   choices=["default", "highest"],
+                   help="eval-time conv pass precision: 'highest' forces "
+                        "true-f32 passes (batch-invariant parity-grade "
+                        "metrics; TPU default bf16 passes wobble per-sample "
+                        "outputs with batch composition)")
     return p
 
 
@@ -82,6 +88,7 @@ def config_from_args(args: argparse.Namespace) -> EngineConfig:
         bf16=args.bf16,
         mesh=args.mesh,
         steps_per_call=args.steps_per_call,
+        eval_precision=args.eval_precision,
     )
 
 

@@ -53,6 +53,12 @@ class EngineConfig:
     mesh: str = "full"  # "full" | "lite": hand mesh for synthetic renders
     # (tools/make_lite_mesh.py; same bones/keypoints/spheres, ~half the
     # triangles — faster raster, sub-output-pixel depth differences)
+    eval_precision: str = "default"  # "default" | "highest": eval-time conv
+    # pass precision. TPU's default f32 convs run bf16 passes, making
+    # per-sample outputs depend on batch composition (up to ~5 mm on
+    # ambiguous samples — infer.py); "highest" forces true-f32 passes so
+    # eval numbers are batch-invariant (the parity-grade mode, ~3x conv
+    # cost at eval only). Train steps are unaffected either way.
     steps_per_call: int = 1  # combined-epoch steps scanned per dispatch;
     # K>1 stacks K real batches and lax.scans the step K times inside one
     # jitted call (same keys/batches/curriculum as K=1) — robust to high

@@ -96,6 +96,13 @@ def build_steps(
     network = make_network(
         cfg.num_stacks, dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32
     )
+    # Eval-time network: same params, optionally true-f32 conv passes so the
+    # eval metric is independent of batch composition (cfg.eval_precision).
+    eval_network = (
+        make_network(cfg.num_stacks, dtype=jnp.float32, precision="highest")
+        if cfg.eval_precision == "highest"
+        else network
+    )
     loss_cfg = cfg.loss_config
     tx = make_optimizer(cfg.weight_decay)
     vae_params = load_pose_vae_params() if cfg.prior else None
@@ -345,7 +352,7 @@ def build_steps(
         headline metric — view 0, last stack, palm joints denoised
         (engine.py:203-207)."""
         scaled_real = batch.dms * _C.depth_scale
-        out = forward(network, params, real_dms=scaled_real, train=False)
+        out = forward(eval_network, params, real_dms=scaled_real, train=False)
         real_target = {
             "real_dms": batch.dms,
             "camera_poses": batch.poses,

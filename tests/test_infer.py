@@ -100,3 +100,57 @@ def test_chunked_serving_matches_monolithic():
     mono = PoseEstimator(params, denoise=True, serve_chunk=8).predict(dms)
     chunked = PoseEstimator(params, denoise=True, serve_chunk=2).predict(dms)
     np.testing.assert_allclose(chunked, mono, atol=1e-4)
+
+
+def test_precision_highest_mode():
+    """precision="highest" (the parity-grade f32-pass mode) must be a pure
+    numerics switch: same param tree, and on CPU — where f32 convs are
+    already exact — identical outputs to the default path. On TPU the
+    default path runs bf16 conv passes, so "highest" removes the documented
+    ~5 mm batch-composition wobble (infer.py; measured artifact
+    tests/goldens/precision_wobble.json)."""
+    import numpy as np
+
+    from spherehand_tpu.infer import PoseEstimator, load_params_npz
+
+    params = load_params_npz("assets/pretrained/synthetic_params.npz")
+    rng = np.random.RandomState(7)
+    dms = np.full((4, 64, 64), 100.0, np.float32)
+    dms[:, 20:44, 20:44] = rng.uniform(20, 60, (4, 24, 24))
+
+    default = PoseEstimator(params, denoise=True).predict(dms)
+    highest = PoseEstimator(params, denoise=True, precision="highest").predict(dms)
+    assert highest.shape == (4, 41, 3)
+    np.testing.assert_allclose(highest, default, atol=1e-4)
+
+
+def test_eval_precision_config_plumbs_through():
+    """cfg.eval_precision="highest" swaps only the eval network; the step
+    still runs on the same params (CPU: identical metrics)."""
+    import jax.numpy as jnp
+
+    from spherehand_tpu.hand.assets import load_hand_model
+    from spherehand_tpu.train.config import EngineConfig
+    from spherehand_tpu.train.steps import RealBatch, build_steps
+
+    hand = load_hand_model()
+    rng = np.random.RandomState(1)
+    dms = np.full((2, 3, 64, 64), 100.0, np.float32)
+    dms[:, :, 24:40, 24:40] = 45.0
+    batch = RealBatch(
+        dms=jnp.asarray(dms),
+        gt_joints=jnp.asarray(rng.uniform(-80, 80, (2, 3, 36, 3)).astype(np.float32)),
+        poses=jnp.tile(jnp.eye(4), (2, 3, 1, 1)).astype(jnp.float32),
+        inv_poses=jnp.tile(jnp.eye(4), (2, 3, 1, 1)).astype(jnp.float32),
+    )
+    steps_d = build_steps(EngineConfig(num_stacks=1), hand)
+    steps_h = build_steps(
+        EngineConfig(num_stacks=1, eval_precision="highest"), hand
+    )
+    params = steps_d.init_state(jax.random.key(5)).params
+    m_d, est_d = steps_d.eval_step(params, jax.random.key(0), batch)
+    m_h, est_h = steps_h.eval_step(params, jax.random.key(0), batch)
+    np.testing.assert_allclose(np.asarray(est_h), np.asarray(est_d), atol=1e-4)
+    assert np.isclose(
+        float(m_h["avg_joint_error"]), float(m_d["avg_joint_error"]), atol=1e-4
+    )

@@ -56,7 +56,11 @@ def run_parity_eval(ckpt: str, dataset_dir: str, num_stacks: int,
             ckpt, os.path.join(out_dir, "imported_params.npz"), num_stacks
         )
 
-    cfg = EngineConfig(num_stacks=num_stacks)
+    # Parity-grade numerics: true-f32 conv passes. The 0.5 mm parity bar
+    # cannot be adjudicated through TPU's default bf16 conv passes, whose
+    # per-sample outputs wobble with batch composition by up to ~5 mm on
+    # ambiguous samples (infer.py); "highest" makes eval batch-invariant.
+    cfg = EngineConfig(num_stacks=num_stacks, eval_precision="highest")
     steps = build_steps(cfg, load_hand_model())
     eval_step = jax.jit(steps.eval_step)
 

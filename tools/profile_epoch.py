@@ -42,7 +42,10 @@ from spherehand_tpu.train.engine import Engine, _prefetch
 
 def _ensure_data(data_dir: str, samples: int) -> None:
     train_dir = os.path.join(data_dir, "train")
-    if os.path.exists(os.path.join(train_dir, "dms_0.npy")):
+    # Sentinel = a file the generator actually writes (the shard writer
+    # emits mv_data_0_{shape.pkl,dms.bat,...}; an earlier check looked for
+    # a dms_0.npy that never exists, regenerating the set on every run).
+    if os.path.exists(os.path.join(train_dir, "mv_data_0_shape.pkl")):
         return
     from tools.selfsup_demo import generate_pseudo_nyu
 
