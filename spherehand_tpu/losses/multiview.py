@@ -102,36 +102,66 @@ def mutual_projection_loss(
     Returns (loss, projected_dms (B, V, V, H, W)).
     """
     from spherehand_tpu.ops.reduce import bmean, bmean_keep
+    from spherehand_tpu.render.sphere import _fuse_spheres
 
     size = real_dms.shape[-1]
-    projected_dms, projected_joints = mutual_projection(
-        poses, inv_poses, joints, radii, size
-    )
     num_views = real_dms.shape[1]
-    # target[b, i, j] = real_dms[b, j]
-    target = jnp.broadcast_to(
-        real_dms[:, None], projected_dms.shape
-    )
+    diag = jnp.arange(num_views)
+
+    if _fuse_spheres(size):
+        # One fused kernel pass produces BOTH loss fields (render min-depth
+        # + nearest-surface distance) of the same projected sphere set, and
+        # its custom VJP emits the summed centers gradient in one backward
+        # launch (render/sphere_pallas.py sphere_min_depth_and_d2m). The sv
+        # branch consumes the diagonal of the SAME distance field — the
+        # three per-view d2m kernel calls the unfused path needs vanish.
+        from spherehand_tpu.render.sphere_pallas import sphere_min_depth_and_d2m
+
+        mats = jax.lax.stop_gradient(mutual_transforms(poses, inv_poses))
+        projected_joints = apply_rigid(mats, joints[:, :, None])
+        b, vi, vj, num_j, _ = projected_joints.shape
+        target = jnp.broadcast_to(
+            real_dms[:, None], (b, vi, vj, size, size)
+        )
+        depth_flat, dist_flat = sphere_min_depth_and_d2m(
+            projected_joints.reshape(b * vi * vj, num_j, 3),
+            target.reshape(b * vi * vj, size, size),
+            radii,
+            size,
+        )
+        projected_dms = depth_flat.reshape(b, vi, vj, size, size)
+        dist_field = jnp.clip(dist_flat.reshape(b, vi, vj, size, size), 0.0, 50.0)
+        d2m_mv = bmean(dist_field, weights) * 9.0
+        # diag slice [b, v, v] of the field == the own-view d2m term
+        d2m_sv = jnp.sum(
+            bmean_keep(dist_field[:, diag, diag], weights, (2, 3))
+        ) * 3.0
+    else:
+        projected_dms, projected_joints = mutual_projection(
+            poses, inv_poses, joints, radii, size
+        )
+        # target[b, i, j] = real_dms[b, j]
+        target = jnp.broadcast_to(real_dms[:, None], projected_dms.shape)
+        d2m_mv = data_to_model_distance(
+            target, projected_joints, radii, weights
+        ) * 9.0
+        joints_diag = projected_joints[:, diag, diag]  # (B, V, J, 3)
+        d2m_sv = (
+            sum(
+                data_to_model_distance(
+                    real_dms[:, v], joints_diag[:, v], radii, weights
+                )
+                for v in range(num_views)
+            )
+            * 3.0
+        )
 
     m2d_mv = bmean((projected_dms - target) ** 2, weights) * 9.0
-    d2m_mv = data_to_model_distance(target, projected_joints, radii, weights) * 9.0
-
-    diag = jnp.arange(num_views)
     proj_diag = projected_dms[:, diag, diag]  # (B, V, H, W)
     target_diag = real_dms
     m2d_sv = jnp.sum(
         bmean_keep((proj_diag - target_diag) ** 2, weights, (2, 3))
     ) * 3.0
-    joints_diag = projected_joints[:, diag, diag]  # (B, V, J, 3)
-    d2m_sv = (
-        sum(
-            data_to_model_distance(
-                real_dms[:, v], joints_diag[:, v], radii, weights
-            )
-            for v in range(num_views)
-        )
-        * 3.0
-    )
 
     loss_mv = m2d_mv + 500.0 * d2m_mv
     loss_sv = m2d_sv + 500.0 * d2m_sv

@@ -78,6 +78,26 @@ Fast record layout (FREC_F=9): barycentric row 0 [a0 b0 c0], row 1
 [a1 b1 c1] (w2 = 1 - w0 - w1), and the fused reciprocal-depth row
 [qa qb qc] = sum_k r_k * row_k with r_k = 1/z_k; all sanitized finite.
 
+**Shipped fast-mode contract** (the production training-data semantic; see
+also README "Production render modes"). Fast mode is a deliberate
+statistical contract vs the CUDA-exact coverage rules:
+
+- packed-sort quantization: canvas coords at 1/32 px over [-1024, 1024),
+  depth at 1/64 mm over [-256, 768) (structural margins for the hand mesh,
+  see the constants below);
+- interior depths: identical up to quantization noise (median diff 0.0 at
+  output precision);
+- silhouette: boundary SAMPLES may flip (half-plane vs scanline-span
+  rules); on-chip vs the oracle: foreground IoU > 0.999, p99 depth diff
+  < 0.5 mm including 2x2-pool-mixed boundary pixels
+  (tests/goldens/tpu_kernel_parity.npz);
+- adversarial geometry (slivers, spill, mixed winding): median 0,
+  boundary-flip pixels < 1% (tests/test_raster_adversarial.py::
+  test_packed_sort_quantization_bound_adversarial pins the bound).
+
+Exact mode remains available everywhere bit-parity matters and is what the
+golden captures use.
+
 Exact record layout (FREC_E=24):
   0 p0x  1 p1x  2 xhi=trunc(min(p2x,W-1))   3 p0y  4 p1y  5 xlo=ceil(p0x)
   6-8  s01 s12 s02 (edge slopes)   9-10 vert01 vert12 (vertical-edge flags)

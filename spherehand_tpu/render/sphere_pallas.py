@@ -96,6 +96,25 @@ def _min_depth_fwd_kernel(cref, depth_ref, amin_ref, w_ref, *, num_j, size):
     )
 
 
+def _min_depth_primal_kernel(cref, depth_ref, *, num_j, size):
+    """Primal-only variant: writes just the depth plane. Pallas outputs are
+    not DCE'd, so non-differentiated calls (eval-time losses) would pay the
+    amin/w plane HBM writes for nothing — custom_vjp runs this body when the
+    call is NOT being differentiated, and the 3-output kernel otherwise."""
+    xg, yg = _grid_rows(size)
+    best = jnp.full(xg.shape, jnp.inf, jnp.float32)
+    for j in range(num_j):
+        cx = cref[0, j, 0]
+        cy = cref[0, j, 1]
+        cz = cref[0, j, 2]
+        r = cref[0, j, 3]
+        sq = r * r - (xg - cx) ** 2 - (yg - cy) ** 2
+        depth = cz - jnp.sqrt(jnp.maximum(sq, 1e-2))
+        d = jnp.where(sq > 1e-2, depth, _C.background_depth)
+        best = jnp.minimum(best, d)
+    depth_ref[0, :, :] = best
+
+
 def _min_depth_bwd_kernel(cref, g_ref, amin_ref, w_ref, out_ref, *, num_j, size):
     xg, yg = _grid_rows(size)
     g = g_ref[0, :, :]
@@ -157,6 +176,27 @@ def _d2m_fwd_kernel(cref, z_ref, dist_ref, amin_ref, w_ref, *, num_j, size):
     )
 
 
+def _d2m_primal_kernel(cref, z_ref, dist_ref, *, num_j, size):
+    """Primal-only variant of _d2m_fwd_kernel (see _min_depth_primal_kernel)."""
+    xg, yg = _grid_rows(size)
+    z = z_ref[0, :, :]
+    p_sq = xg * xg + yg * yg + z * z
+    background = z > 99.0
+    best = jnp.full(xg.shape, jnp.inf, jnp.float32)
+    for j in range(num_j):
+        cx = cref[0, j, 0]
+        cy = cref[0, j, 1]
+        cz = cref[0, j, 2]
+        r = cref[0, j, 3]
+        c_sq = cx * cx + cy * cy + cz * cz
+        p_dot_c = xg * cx + yg * cy + z * cz
+        sq_dist = jnp.maximum(p_sq - 2.0 * p_dot_c + c_sq, 1e-6)
+        dist = jnp.abs(jnp.sqrt(sq_dist) - r)
+        dist = jnp.where(background, 0.0, dist)
+        best = jnp.minimum(best, dist)
+    dist_ref[0, :, :] = best
+
+
 def _d2m_bwd_kernel(cref, z_ref, g_ref, amin_ref, w_ref, out_ref, *, num_j, size):
     xg, yg = _grid_rows(size)
     z = z_ref[0, :, :]
@@ -181,6 +221,131 @@ def _d2m_bwd_kernel(cref, z_ref, g_ref, amin_ref, w_ref, out_ref, *, num_j, size
         )
         out_ref[0, j, 2] = cref[0, j, 2] * s_a - jnp.sum(
             jnp.where(sel, az, 0.0)
+        )
+
+
+def _fused_primal_kernel(cref, z_ref, depth_ref, dist_ref, *, num_j, size):
+    """Primal-only fused kernel: min-depth render AND nearest-surface
+    distance of the same sphere set against the same observed maps, one J
+    loop, no residual planes (see sphere_min_depth_and_d2m)."""
+    xg, yg = _grid_rows(size)
+    z = z_ref[0, :, :]
+    p_sq = xg * xg + yg * yg + z * z
+    background = z > 99.0
+    bestd = jnp.full(xg.shape, jnp.inf, jnp.float32)
+    bestm = jnp.full(xg.shape, jnp.inf, jnp.float32)
+    for j in range(num_j):
+        cx = cref[0, j, 0]
+        cy = cref[0, j, 1]
+        cz = cref[0, j, 2]
+        r = cref[0, j, 3]
+        sq = r * r - (xg - cx) ** 2 - (yg - cy) ** 2
+        depth = cz - jnp.sqrt(jnp.maximum(sq, 1e-2))
+        bestd = jnp.minimum(bestd, jnp.where(sq > 1e-2, depth, _C.background_depth))
+        c_sq = cx * cx + cy * cy + cz * cz
+        p_dot_c = xg * cx + yg * cy + z * cz
+        dist = jnp.abs(jnp.sqrt(jnp.maximum(p_sq - 2.0 * p_dot_c + c_sq, 1e-6)) - r)
+        bestm = jnp.minimum(bestm, jnp.where(background, 0.0, dist))
+    depth_ref[0, :, :] = bestd
+    dist_ref[0, :, :] = bestm
+
+
+def _fused_fwd_kernel(
+    cref, z_ref, depth_ref, dist_ref, amind_ref, wd_ref, aminm_ref, wm_ref,
+    *, num_j, size,
+):
+    """Differentiated-path fused forward: both fields plus both argmin/
+    gradient-weight residual plane pairs (the same quantities the separate
+    _min_depth_fwd_kernel/_d2m_fwd_kernel produce, one J loop)."""
+    xg, yg = _grid_rows(size)
+    z = z_ref[0, :, :]
+    p_sq = xg * xg + yg * yg + z * z
+    background = z > 99.0
+    bestd = jnp.full(xg.shape, jnp.inf, jnp.float32)
+    bestjd = jnp.zeros(xg.shape, jnp.int32)
+    best_sq = jnp.zeros(xg.shape, jnp.float32)
+    bestm = jnp.full(xg.shape, jnp.inf, jnp.float32)
+    bestjm = jnp.zeros(xg.shape, jnp.int32)
+    best_raw = jnp.zeros(xg.shape, jnp.float32)
+    best_r = jnp.zeros(xg.shape, jnp.float32)
+    for j in range(num_j):
+        cx = cref[0, j, 0]
+        cy = cref[0, j, 1]
+        cz = cref[0, j, 2]
+        r = cref[0, j, 3]
+        sq = r * r - (xg - cx) ** 2 - (yg - cy) ** 2
+        depth = cz - jnp.sqrt(jnp.maximum(sq, 1e-2))
+        d = jnp.where(sq > 1e-2, depth, _C.background_depth)
+        upd = d < bestd
+        bestd = jnp.where(upd, d, bestd)
+        bestjd = jnp.where(upd, j, bestjd)
+        best_sq = jnp.where(upd, sq, best_sq)
+        c_sq = cx * cx + cy * cy + cz * cz
+        p_dot_c = xg * cx + yg * cy + z * cz
+        raw = p_sq - 2.0 * p_dot_c + c_sq
+        dist = jnp.abs(jnp.sqrt(jnp.maximum(raw, 1e-6)) - r)
+        dist = jnp.where(background, 0.0, dist)
+        updm = dist < bestm
+        bestm = jnp.where(updm, dist, bestm)
+        bestjm = jnp.where(updm, j, bestjm)
+        best_raw = jnp.where(updm, raw, best_raw)
+        best_r = jnp.where(updm, r, best_r)
+    depth_ref[0, :, :] = bestd
+    amind_ref[0, :, :] = bestjd
+    wd_ref[0, :, :] = jnp.where(
+        best_sq > 1e-2, jax.lax.rsqrt(jnp.maximum(best_sq, 1e-2)), 0.0
+    )
+    dist_ref[0, :, :] = bestm
+    aminm_ref[0, :, :] = bestjm
+    # Background folded into the weight plane (dist there is 0 for every
+    # sphere, so its cotangent must not leak into any center).
+    root = jnp.sqrt(jnp.maximum(best_raw, 1e-6))
+    wm_ref[0, :, :] = jnp.where(
+        background | (best_raw < 1e-6), 0.0, jnp.sign(root - best_r) / root
+    )
+
+
+def _fused_bwd_kernel(
+    cref, z_ref, gd_ref, gm_ref, amind_ref, wd_ref, aminm_ref, wm_ref,
+    out_ref, *, num_j, size,
+):
+    """One backward pass for BOTH cotangents: the render and distance fields
+    are functions of the same centers, so the two gradient contributions sum
+    into one (N, J, 3) output — a single J loop of masked sums, replacing
+    two kernel launches (and the XLA add of their outputs)."""
+    xg, yg = _grid_rows(size)
+    z = z_ref[0, :, :]
+    gd = gd_ref[0, :, :]
+    amind = amind_ref[0, :, :]
+    wd = wd_ref[0, :, :]
+    ad = gd * wd
+    adx = ad * xg
+    ady = ad * yg
+    cd = jnp.where(wd > 0.0, gd, 0.0)  # d depth / d cz = 1 inside
+    am = gm_ref[0, :, :] * wm_ref[0, :, :]  # wm already 0 on background
+    amx = am * xg
+    amy = am * yg
+    amz = am * z
+    aminm = aminm_ref[0, :, :]
+    for j in range(num_j):
+        seld = amind == j
+        selm = aminm == j
+        s_ad = jnp.sum(jnp.where(seld, ad, 0.0))
+        s_am = jnp.sum(jnp.where(selm, am, 0.0))
+        out_ref[0, j, 0] = (
+            cref[0, j, 0] * (s_ad + s_am)
+            - jnp.sum(jnp.where(seld, adx, 0.0))
+            - jnp.sum(jnp.where(selm, amx, 0.0))
+        )
+        out_ref[0, j, 1] = (
+            cref[0, j, 1] * (s_ad + s_am)
+            - jnp.sum(jnp.where(seld, ady, 0.0))
+            - jnp.sum(jnp.where(selm, amy, 0.0))
+        )
+        out_ref[0, j, 2] = (
+            jnp.sum(jnp.where(seld, cd, 0.0))
+            + cref[0, j, 2] * s_am
+            - jnp.sum(jnp.where(selm, amz, 0.0))
         )
 
 
@@ -216,9 +381,24 @@ def sphere_min_depth(centers, radii, size, interpret=False):
     ``jnp.min(render_spheres(...), axis=-3)`` with gradient support w.r.t.
     ``centers`` (radii are treated as constants, as everywhere in the
     reference loss stack).
+
+    Non-differentiated calls (e.g. eval-time losses) run a primal-only
+    kernel that writes just the depth plane — the argmin/weight residual
+    planes cost ~2x extra HBM output traffic and pallas outputs cannot be
+    DCE'd; custom_vjp swaps in the 3-output forward only under autodiff.
     """
-    depth, _ = _min_depth_fwd(centers, radii, size, interpret)
-    return depth
+    n, num_j = centers.shape[0], centers.shape[1]
+    rows = size * size // _LANES
+    packed = _pack_centers(centers, radii)
+    depth = pl.pallas_call(
+        functools.partial(_min_depth_primal_kernel, num_j=num_j, size=size),
+        grid=(n,),
+        in_specs=[_smem_spec(num_j)],
+        out_specs=_plane_spec(rows),
+        out_shape=jax.ShapeDtypeStruct((n, rows, _LANES), jnp.float32),
+        interpret=interpret,
+    )(packed)
+    return depth.reshape(n, size, size)
 
 
 def _min_depth_fwd(centers, radii, size, interpret):
@@ -280,9 +460,24 @@ def d2m_nearest(depth_maps, centers, radii, size, interpret=False):
     site feeds observed sensor depth), centers (N, J, 3) -> (N, size, size),
     bit-identical to the min over J of sphere.data_to_model_distance's
     ``dist_to_surface`` (background pixels 0). Gradients w.r.t. ``centers``.
+
+    Non-differentiated calls run a primal-only kernel (just the distance
+    plane; see sphere_min_depth) — custom_vjp swaps in the residual-writing
+    forward only under autodiff.
     """
-    dist, _ = _d2m_fwd(depth_maps, centers, radii, size, interpret)
-    return dist
+    n, num_j = centers.shape[0], centers.shape[1]
+    rows = size * size // _LANES
+    packed = _pack_centers(centers, radii)
+    z = depth_maps.reshape(n, rows, _LANES).astype(jnp.float32)
+    dist = pl.pallas_call(
+        functools.partial(_d2m_primal_kernel, num_j=num_j, size=size),
+        grid=(n,),
+        in_specs=[_smem_spec(num_j), _plane_spec(rows)],
+        out_specs=_plane_spec(rows),
+        out_shape=jax.ShapeDtypeStruct((n, rows, _LANES), jnp.float32),
+        interpret=interpret,
+    )(packed, z)
+    return dist.reshape(n, size, size)
 
 
 def _d2m_fwd(depth_maps, centers, radii, size, interpret):
@@ -336,3 +531,91 @@ def _d2m_bwd_rule(size, interpret, res, g):
 
 
 d2m_nearest.defvjp(_d2m_fwd_rule, _d2m_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def sphere_min_depth_and_d2m(centers, target_dms, radii, size, interpret=False):
+    """Fused mutual-projection core: BOTH loss fields in one kernel pass.
+
+    The mv mutual-projection loss consumes two fields of the SAME sphere set
+    against the SAME observed maps — the rendered min depth (m2d MSE term)
+    and the nearest-surface distance (d2m term); reference
+    mesh/render.py:26-53,89 and :123-142 via multiview_utility.py:90-130.
+    Separate kernels pay two J loops, two plane passes and two backward
+    launches; fused they share the grid/centers loop, and because both
+    cotangents flow to the same ``centers``, the backward emits the SUMMED
+    gradient from one launch.
+
+    centers (N, J, 3) mm, target_dms (N, size, size) mm observed data (not
+    differentiated), radii (J,) constants -> (depth (N, size, size),
+    dist (N, size, size)), each bit-identical to the standalone
+    sphere_min_depth / d2m_nearest outputs. Non-differentiated calls run a
+    two-output primal kernel with no residual planes.
+    """
+    n, num_j = centers.shape[0], centers.shape[1]
+    rows = size * size // _LANES
+    packed = _pack_centers(centers, radii)
+    z = target_dms.reshape(n, rows, _LANES).astype(jnp.float32)
+    depth, dist = pl.pallas_call(
+        functools.partial(_fused_primal_kernel, num_j=num_j, size=size),
+        grid=(n,),
+        in_specs=[_smem_spec(num_j), _plane_spec(rows)],
+        out_specs=[_plane_spec(rows), _plane_spec(rows)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n, rows, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(packed, z)
+    return depth.reshape(n, size, size), dist.reshape(n, size, size)
+
+
+def _fused_fwd_rule(centers, target_dms, radii, size, interpret):
+    n, num_j = centers.shape[0], centers.shape[1]
+    rows = size * size // _LANES
+    packed = _pack_centers(centers, radii)
+    z = target_dms.reshape(n, rows, _LANES).astype(jnp.float32)
+    plane = jax.ShapeDtypeStruct((n, rows, _LANES), jnp.float32)
+    iplane = jax.ShapeDtypeStruct((n, rows, _LANES), jnp.int32)
+    depth, dist, amind, wd, aminm, wm = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, num_j=num_j, size=size),
+        grid=(n,),
+        in_specs=[_smem_spec(num_j), _plane_spec(rows)],
+        out_specs=[_plane_spec(rows)] * 6,
+        out_shape=[plane, plane, iplane, plane, iplane, plane],
+        interpret=interpret,
+    )(packed, z)
+    out = (depth.reshape(n, size, size), dist.reshape(n, size, size))
+    return out, (packed, z, amind, wd, aminm, wm)
+
+
+def _fused_bwd_rule(size, interpret, res, gs):
+    packed, z, amind, wd, aminm, wm = res
+    g_depth, g_dist = gs
+    n, num_j = packed.shape[0], packed.shape[1]
+    rows = size * size // _LANES
+    grads = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, num_j=num_j, size=size),
+        grid=(n,),
+        in_specs=[_smem_spec(num_j)] + [_plane_spec(rows)] * 7,
+        out_specs=_grads_spec(num_j),
+        out_shape=jax.ShapeDtypeStruct((n, num_j, 4), jnp.float32),
+        interpret=interpret,
+    )(
+        packed,
+        z,
+        g_depth.reshape(n, rows, _LANES).astype(jnp.float32),
+        g_dist.reshape(n, rows, _LANES).astype(jnp.float32),
+        amind,
+        wd,
+        aminm,
+        wm,
+    )
+    return (
+        grads[..., :3].astype(packed.dtype),
+        jnp.zeros((n, size, size), packed.dtype),  # target is data
+        jnp.zeros((num_j,), packed.dtype),  # radii constant
+    )
+
+
+sphere_min_depth_and_d2m.defvjp(_fused_fwd_rule, _fused_bwd_rule)

@@ -62,6 +62,11 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=1e-3,
                     help="the STOCK reference lr (run_engine.py:23)")
     ap.add_argument("--eval_every", type=int, default=1)
+    ap.add_argument("--save_every", type=int, default=1,
+                    help="rolling-checkpoint cadence in epochs; checkpoints "
+                         "download ~26 MB from the device, so raise this in "
+                         "degraded-tunnel windows (CLAUDE.md) — resume "
+                         "granularity coarsens accordingly")
     ap.add_argument("--steps_per_call", type=int, default=8,
                     help="K combined steps lax.scanned per dispatch — "
                          "step-for-step equivalent to K=1, robust to "
@@ -166,11 +171,15 @@ def main() -> None:
         t0 = time.time()
         engine._epoch_combined(epoch)
         rstate["train_secs"] += time.time() - t0
-        engine.save_checkpoint(-1)
+        saved = (epoch + 1) % args.save_every == 0 or epoch == cfg.epoch - 1
+        if saved:
+            engine.save_checkpoint(-1)
         if (epoch + 1) % args.eval_every == 0 or epoch == cfg.epoch - 1:
             evaluate(epoch, "train")
-        rstate["next_epoch"] = epoch + 1
-        save_state()
+        if saved:
+            # resume point only advances past epochs the checkpoint covers
+            rstate["next_epoch"] = epoch + 1
+            save_state()
 
     final = {
         "config": dataclasses.asdict(cfg),
