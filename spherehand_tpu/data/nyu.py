@@ -321,6 +321,16 @@ class NyuDataset:
     def __len__(self) -> int:
         return self.num_samples
 
+    def gather_joints(self, indices: np.ndarray) -> np.ndarray:
+        """Joints-only fetch (B, V, 36, 3) — the eval loop's host-side ground
+        truth when the depth maps live device-resident (no memmap dms IO)."""
+        indices = np.asarray(indices)
+        shard_ids = np.searchsorted(self.offsets, indices, side="right") - 1
+        local = indices - self.offsets[shard_ids]
+        return np.stack(
+            [self.joint_poses[s][i] for s, i in zip(shard_ids, local)]
+        )
+
     def gather(self, indices: np.ndarray):
         """Fetch a batch by global indices -> (dms, joints, poses, inv_poses)."""
         shard_ids = np.searchsorted(self.offsets, indices, side="right") - 1
@@ -345,22 +355,36 @@ class NyuLoader:
     Drops the trailing ragged batch (the reference DataLoader keeps it; for
     jit-compiled fixed shapes we require full batches — with bs 25 over ~72k
     samples the loss of <25 samples/epoch is noise).
+
+    The shuffle permutation derives from ``(seed, epoch)``, so each epoch
+    sees a fresh order (the reference's DataLoader semantics — one torch
+    generator across the run) AND a resumed run replays the exact order of
+    the epochs it re-enters, which torch does not guarantee.
     """
 
     def __init__(self, dataset: NyuDataset, batch_size: int, shuffle: bool,
-                 seed: int = 0):
+                 seed: int = 0, epoch: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = epoch
 
     def __len__(self) -> int:
         return len(self.dataset) // self.batch_size
 
-    def __iter__(self) -> Iterator:
+    def iter_index_batches(self) -> Iterator[np.ndarray]:
+        """The epoch's index plan only — shared by the host gather path and
+        the device-resident path (engine), so both see identical batches."""
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(order)
+            rs = np.random.RandomState(
+                np.asarray([self.seed & 0x7FFFFFFF, self.epoch], np.uint32)
+            )
+            rs.shuffle(order)
         for b in range(len(self)):
-            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator:
+        for idx in self.iter_index_batches():
             yield self.dataset.gather(idx)

@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_call", default=1, type=int,
                    help="combined-epoch steps scanned per dispatch "
                         "(same math as 1; >1 amortizes host round trips)")
+    p.add_argument("--device_data", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="hold the real splits device-resident and gather "
+                        "batches inside the jitted step (auto: when the "
+                        "split fits HBM, single-process)")
     p.add_argument("--eval_precision", default="default",
                    choices=["default", "highest"],
                    help="eval-time conv pass precision: 'highest' forces "
@@ -88,6 +93,7 @@ def config_from_args(args: argparse.Namespace) -> EngineConfig:
         bf16=args.bf16,
         mesh=args.mesh,
         steps_per_call=args.steps_per_call,
+        device_data=args.device_data,
         eval_precision=args.eval_precision,
     )
 

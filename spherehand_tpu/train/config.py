@@ -63,6 +63,15 @@ class EngineConfig:
     # K>1 stacks K real batches and lax.scans the step K times inside one
     # jitted call (same keys/batches/curriculum as K=1) — robust to high
     # host<->device dispatch latency
+    device_data: str = "auto"  # "auto" | "on" | "off": upload each real
+    # split to device HBM once and gather batches INSIDE the jitted step —
+    # the per-step host->device transfer drops to the index vector. NYU at
+    # reference scale is ~3.5 GB (fits one v5e's 16 GB). Batches are
+    # bit-identical to the host loader path (same index plan). "auto" = on
+    # for single-process runs whose split fits device_data_max_gb; the
+    # split replicates per device on a data mesh; multi-process runs use
+    # the host per-process loader.
+    device_data_max_gb: float = 6.0
 
     @property
     def loss_config(self) -> LossConfig:

@@ -281,10 +281,51 @@ class Engine:
             state, metrics, vis, sums = one(state, its[-1], last_batch, sums)
             return state, metrics, vis, sums
 
+        def _gather_batch(data, idx, w):
+            """Device-side batch materialization from the resident split.
+            idx may carry a leading K (scan) axis; rows are whole records
+            (V x 64 x 64 dms), not thin gathers — MXU-friendly per the
+            take_along_axis gotcha."""
+            return RealBatch(
+                data["dms"][idx], data["joints"][idx],
+                data["poses"][idx], data["inv_poses"][idx], w,
+            )
+
+        def combined_acc_dev(state, base_key, epoch_it, lr, data, idx, w,
+                             sums):
+            return combined_acc(
+                state, base_key, epoch_it, lr, _gather_batch(data, idx, w),
+                sums,
+            )
+
+        def real_acc_dev(state, base_key, epoch_it, lr, data, idx, w, sums):
+            return real_acc(
+                state, base_key, epoch_it, lr, _gather_batch(data, idx, w),
+                sums,
+            )
+
+        def combined_scan_dev(state, base_key, epoch, its, lr, data, idxs,
+                              ws, sums):
+            return combined_scan(
+                state, base_key, epoch, its, lr,
+                _gather_batch(data, idxs, ws), sums,
+            )
+
+        def eval_dev(params, key, data, idx, w):
+            return steps.eval_step(params, key, _gather_batch(data, idx, w))
+
         self._jit_synt_acc = jax.jit(synt_acc, donate_argnums=(0, 4))
         self._jit_combined_acc = jax.jit(combined_acc, donate_argnums=(0, 5))
         self._jit_real_acc = jax.jit(real_acc, donate_argnums=(0, 5))
         self._jit_combined_scan = jax.jit(combined_scan, donate_argnums=(0, 6))
+        self._jit_combined_acc_dev = jax.jit(
+            combined_acc_dev, donate_argnums=(0, 7)
+        )
+        self._jit_real_acc_dev = jax.jit(real_acc_dev, donate_argnums=(0, 7))
+        self._jit_combined_scan_dev = jax.jit(
+            combined_scan_dev, donate_argnums=(0, 8)
+        )
+        self._jit_eval_dev = jax.jit(eval_dev)
 
     def _metric_zeros(self, kind: str, eval_fn) -> dict:
         """Zero-valued metric sums matching a step's metric tree (host-side
@@ -302,15 +343,124 @@ class Engine:
         return {k: float(v) / count for k, v in vals.items()}
 
     # ------------------------------------------------------------------ data
-    def _real_loader(self, train: bool, batch_size: int) -> NyuLoader:
+    def _split(self, train: bool) -> NyuDataset:
         subset = "train" if train else "test"
         if train and self._train_data is None:
             self._train_data = NyuDataset(os.path.join(self.cfg.dataset_dir, subset))
         if not train and self._eval_data is None:
             self._eval_data = NyuDataset(os.path.join(self.cfg.dataset_dir, subset))
-        data = self._train_data if train else self._eval_data
+        return self._train_data if train else self._eval_data
+
+    def _real_loader(self, train: bool, batch_size: int,
+                     epoch: int = 0) -> NyuLoader:
+        data = self._split(train)
         shuffle = train and not self.cfg.temporal  # engine.py:326-327
-        return NyuLoader(data, batch_size, shuffle, seed=self.cfg.seed)
+        return NyuLoader(data, batch_size, shuffle, seed=self.cfg.seed,
+                         epoch=epoch)
+
+    def _resident(self, train: bool):
+        """Device-resident copy of a real split, or None (host loader path).
+
+        NYU at reference scale is ~3.5 GB — it FITS in one v5e's 16 GB HBM,
+        so the TPU-native data path uploads each split once and gathers
+        batches INSIDE the jitted step: per-dispatch host->device traffic
+        shrinks from the batch arrays (~1.2 MB x K) to the index vector
+        (~100 B x K), taking the epoch loop off the host/tunnel bandwidth
+        path entirely. Batches are bit-identical to the host loader's (same
+        index plan via NyuLoader.iter_index_batches, gathers are exact).
+        On a data mesh the split is REPLICATED per device; multi-process
+        runs fall back to the host per-process loader.
+        """
+        cfg = self.cfg
+        if cfg.device_data == "off":
+            return None
+        if jax.process_count() > 1:
+            if cfg.device_data == "on":
+                raise ValueError(
+                    "device_data='on' is single-process only (the resident "
+                    "split replicates per device; multi-host input sharding "
+                    "uses the host loader)"
+                )
+            return None
+        cache = "_resident_train_arrays" if train else "_resident_eval_arrays"
+        cached = getattr(self, cache, None)
+        if cached is not None:
+            return cached or None  # {} sentinel = checked, too big
+        ds = self._split(train)
+        nbytes = sum(m.nbytes for m in ds.dms) + sum(
+            a.nbytes for a in ds.joint_poses + ds.camera_poses
+            + ds.inv_camera_poses
+        )
+        if cfg.device_data == "auto" and nbytes > cfg.device_data_max_gb * 2**30:
+            setattr(self, cache, {})
+            print(f"[engine] device_data auto: split is "
+                  f"{nbytes / 2**30:.1f} GiB > {cfg.device_data_max_gb} GiB "
+                  f"cap, using the host loader")
+            return None
+        # Shard-by-shard upload + on-device concat bounds host RAM at one
+        # shard; peak device memory is 2x the split during the concat.
+        def up(parts):
+            if len(parts) == 1:
+                return jax.device_put(np.ascontiguousarray(parts[0]),
+                                      self._replicated)
+            return jnp.concatenate(
+                [jax.device_put(np.ascontiguousarray(p), self._replicated)
+                 for p in parts], axis=0
+            )
+        t0 = time.time()
+        arrays = {
+            "dms": up(ds.dms),
+            "joints": up(ds.joint_poses),
+            "poses": up(ds.camera_poses),
+            "inv_poses": up(ds.inv_camera_poses),
+        }
+        jax.block_until_ready(arrays)
+        setattr(self, cache, arrays)
+        print(f"[engine] device-resident {'train' if train else 'test'} "
+              f"split: {nbytes / 2**20:.0f} MiB uploaded once "
+              f"in {time.time() - t0:.1f}s")
+        return arrays
+
+    def _pad_idx(self, idx: np.ndarray):
+        """Index-plan twin of _pad_batch: wraparound duplicate indices at
+        loss-weight zero, so device-side gathers build the identical padded
+        batch."""
+        idx = np.asarray(idx)
+        n = self._n_devices
+        b = idx.shape[0]
+        pad = (-b) % n
+        if not pad:
+            return idx.astype(np.int32), None
+        idxp = np.concatenate([idx, idx[np.arange(pad) % b]]).astype(np.int32)
+        w = np.concatenate(
+            [np.ones(b, np.float32), np.zeros(pad, np.float32)]
+        )
+        return idxp, w
+
+    def _feed(self, loader: NyuLoader, data):
+        """Per-step feed: host path yields uploaded RealBatches (prefetch
+        thread hides the memmap gather); device path yields tiny
+        (idx, weights) device tuples — the resident split never re-uploads."""
+        if data is None:
+            for raw in _prefetch(loader):
+                yield self._put_batch(raw)
+        else:
+            for idx in loader.iter_index_batches():
+                yield jax.device_put(
+                    self._pad_idx(idx), self._batch_sharding
+                )
+
+    def _sds_batch(self, data, batch: int, w) -> RealBatch:
+        """ShapeDtypeStruct RealBatch for eval_shape on the device path."""
+        parts = [
+            jax.ShapeDtypeStruct((batch,) + tuple(data[k].shape[1:]),
+                                 data[k].dtype)
+            for k in ("dms", "joints", "poses", "inv_poses")
+        ]
+        wq = None if w is None else jax.ShapeDtypeStruct(
+            (batch,), jnp.float32
+        )
+        return RealBatch(*parts, wq)
 
     def _pad_batch(self, raw) -> RealBatch:
         """Host-side padding: the leading axis grows to a multiple of the
@@ -464,24 +614,36 @@ class Engine:
             return self._epoch_combined_scan(epoch)
         cfg = self.cfg
         lr = jnp.asarray(cfg.lr_at_epoch(epoch))
-        loader = self._real_loader(train=True, batch_size=cfg.real_batch)
+        loader = self._real_loader(train=True, batch_size=cfg.real_batch,
+                                   epoch=epoch)
+        data = self._resident(train=True)
         timer = StepTimer(window=100)
         sums = None
         t0 = time.time()
-        for it, raw in enumerate(_prefetch(loader)):
-            batch = self._put_batch(raw)
+        for it, fed in enumerate(self._feed(loader, data)):
             if sums is None:
+                batch_like = (
+                    fed if data is None
+                    else self._sds_batch(data, fed[0].shape[0], fed[1])
+                )
                 sums = self._metric_zeros(
                     "combined",
                     lambda: jax.eval_shape(
                         self.steps.combined_step, self.state, self.base_key,
-                        lr, batch, jnp.asarray(True),
+                        lr, batch_like, jnp.asarray(True),
                     )[1],
                 )
-            self.state, metrics, vis, sums = self._jit_combined_acc(
-                self.state, self.base_key,
-                np.asarray([epoch, it], np.int32), lr, batch, sums,
-            )
+            if data is None:
+                self.state, metrics, vis, sums = self._jit_combined_acc(
+                    self.state, self.base_key,
+                    np.asarray([epoch, it], np.int32), lr, fed, sums,
+                )
+            else:
+                self.state, metrics, vis, sums = self._jit_combined_acc_dev(
+                    self.state, self.base_key,
+                    np.asarray([epoch, it], np.int32), lr, data,
+                    fed[0], fed[1], sums,
+                )
             timer.tick(metrics["loss"])  # blocks only at window edges
             if it % 400 == 0:
                 self._dump_train_images(epoch, it, vis)
@@ -513,7 +675,9 @@ class Engine:
         cfg = self.cfg
         K = cfg.steps_per_call
         lr = jnp.asarray(cfg.lr_at_epoch(epoch))
-        loader = self._real_loader(train=True, batch_size=cfg.real_batch)
+        loader = self._real_loader(train=True, batch_size=cfg.real_batch,
+                                   epoch=epoch)
+        data = self._resident(train=True)
         timer = StepTimer(window=max(1, 100 // K))
         sums = None
         it = 0
@@ -557,35 +721,73 @@ class Engine:
                 logged_any = True
 
         vis = None
-        for raw in _prefetch(loader):
+        src = (
+            _prefetch(loader) if data is None else loader.iter_index_batches()
+        )
+        for raw in src:
             buf.append(raw)
             if len(buf) < K:
                 continue
-            batches = self._put_batches(buf)
+            if data is None:
+                batches = self._put_batches(buf)
+            else:
+                plans = [self._pad_idx(i) for i in buf]
+                ws = (
+                    None if plans[0][1] is None
+                    else np.stack([w for _, w in plans])
+                )
+                batches = jax.device_put(
+                    (np.stack([i for i, _ in plans]), ws),
+                    self._scan_batch_sharding,
+                )
             buf = []
             if sums is None:
-                one = jax.tree.map(
-                    lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype),
-                    batches,
-                )
+                if data is None:
+                    one = jax.tree.map(
+                        lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype),
+                        batches,
+                    )
+                else:
+                    one = self._sds_batch(
+                        data, batches[0].shape[1], batches[1]
+                    )
                 sums = ensure_sums(one)
             its = jnp.asarray(np.arange(it, it + K, dtype=np.int32))
-            self.state, metrics, vis, sums = self._jit_combined_scan(
-                self.state, self.base_key, np.int32(epoch), its, lr,
-                batches, sums,
-            )
+            if data is None:
+                self.state, metrics, vis, sums = self._jit_combined_scan(
+                    self.state, self.base_key, np.int32(epoch), its, lr,
+                    batches, sums,
+                )
+            else:
+                self.state, metrics, vis, sums = self._jit_combined_scan_dev(
+                    self.state, self.base_key, np.int32(epoch), its, lr,
+                    data, batches[0], batches[1], sums,
+                )
             prev, it = it, it + K
             timer.tick(metrics["loss"])
             log_window(prev, it, sums, vis)
 
         for raw in buf:  # ragged tail, per-step
-            batch = self._put_batch(raw)
-            if sums is None:
-                sums = ensure_sums(batch)
-            self.state, metrics, vis, sums = self._jit_combined_acc(
-                self.state, self.base_key,
-                np.asarray([epoch, it], np.int32), lr, batch, sums,
+            fed = (
+                self._put_batch(raw) if data is None
+                else jax.device_put(self._pad_idx(raw), self._batch_sharding)
             )
+            if sums is None:
+                sums = ensure_sums(
+                    fed if data is None
+                    else self._sds_batch(data, fed[0].shape[0], fed[1])
+                )
+            if data is None:
+                self.state, metrics, vis, sums = self._jit_combined_acc(
+                    self.state, self.base_key,
+                    np.asarray([epoch, it], np.int32), lr, fed, sums,
+                )
+            else:
+                self.state, metrics, vis, sums = self._jit_combined_acc_dev(
+                    self.state, self.base_key,
+                    np.asarray([epoch, it], np.int32), lr, data,
+                    fed[0], fed[1], sums,
+                )
             prev, it = it, it + 1
             log_window(prev, it, sums, vis)
         if it > 0 and not logged_any:
@@ -603,23 +805,35 @@ class Engine:
         """Real-only self-supervised epoch, bs=8 (engine.py:150-263)."""
         cfg = self.cfg
         lr = jnp.asarray(cfg.lr_at_epoch(epoch))
-        loader = self._real_loader(train=True, batch_size=cfg.eval_batch)
+        loader = self._real_loader(train=True, batch_size=cfg.eval_batch,
+                                   epoch=epoch)
+        data = self._resident(train=True)
         sums = None
         t0 = time.time()
-        for it, raw in enumerate(_prefetch(loader)):
-            batch = self._put_batch(raw)
+        for it, fed in enumerate(self._feed(loader, data)):
             if sums is None:
+                batch_like = (
+                    fed if data is None
+                    else self._sds_batch(data, fed[0].shape[0], fed[1])
+                )
                 sums = self._metric_zeros(
                     "real",
                     lambda: jax.eval_shape(
                         self.steps.real_step, self.state, self.base_key, lr,
-                        batch,
+                        batch_like,
                     )[1],
                 )
-            self.state, metrics, vis, sums = self._jit_real_acc(
-                self.state, self.base_key,
-                np.asarray([epoch, it], np.int32), lr, batch, sums,
-            )
+            if data is None:
+                self.state, metrics, vis, sums = self._jit_real_acc(
+                    self.state, self.base_key,
+                    np.asarray([epoch, it], np.int32), lr, fed, sums,
+                )
+            else:
+                self.state, metrics, vis, sums = self._jit_real_acc_dev(
+                    self.state, self.base_key,
+                    np.asarray([epoch, it], np.int32), lr, data,
+                    fed[0], fed[1], sums,
+                )
             if it % 100 == 0:
                 self._dump_real_images(epoch, it, vis)
                 avg = self._fetch_avg(sums, it + 1)
@@ -677,20 +891,35 @@ class Engine:
     def _epoch_real_eval(self, epoch: int, dump_images: bool = False):
         cfg = self.cfg
         loader = self._real_loader(train=False, batch_size=cfg.eval_batch)
+        data = self._resident(train=False)
+        ds = self._split(train=False)
         avg = RunningAverage()
         all_gt, all_est = [], []
-        for it, raw in enumerate(loader):
-            n_real = len(raw[0])
-            batch = self._put_batch(raw)
-            metrics, denoised = self._jit_eval(
-                self.state.params, self._step_key(epoch, it), batch
-            )
+        for it, idx in enumerate(loader.iter_index_batches()):
+            n_real = len(idx)
+            if data is None:
+                raw = ds.gather(idx)
+                batch = self._put_batch(raw)
+                metrics, denoised = self._jit_eval(
+                    self.state.params, self._step_key(epoch, it), batch
+                )
+                gt = raw[1]
+            else:
+                fed = jax.device_put(self._pad_idx(idx),
+                                     self._batch_sharding)
+                metrics, denoised = self._jit_eval_dev(
+                    self.state.params, self._step_key(epoch, it), data,
+                    fed[0], fed[1],
+                )
+                gt = ds.gather_joints(idx)
             avg.append(metrics)
-            # Strip any DP padding rows from the persisted result arrays.
-            all_gt.append(np.asarray(batch.gt_joints[:n_real, 0]))
+            # Strip any DP padding rows from the persisted result arrays;
+            # gt comes from the host memmap (no device download).
+            all_gt.append(gt[:n_real, 0])
             all_est.append(np.asarray(denoised)[:n_real])
             if dump_images and it % 100 == 0:
-                dms = np.asarray(batch.dms[:, 0]) * _C.depth_scale
+                host_dms = raw[0] if data is None else ds.gather(idx)[0]
+                dms = host_dms[:, 0] * _C.depth_scale
                 img = viz.result_grid(
                     dms,
                     np.zeros((dms.shape[0], 41, 16, 16), np.float32),

@@ -181,6 +181,75 @@ def measure_loop_scan(engine: Engine, iters: int) -> float:
     return (time.time() - t0) / max((n - 1) * K, 1) * 1e3
 
 
+def _cycle_idx(engine: Engine):
+    while True:
+        yield from engine._real_loader(
+            True, engine.cfg.real_batch
+        ).iter_index_batches()
+
+
+def measure_loop_dev(engine: Engine, iters: int, k: int = 1) -> float:
+    """Device-resident epoch path: the split lives in HBM, each dispatch
+    uploads only the (K, B) index plan and gathers inside the program."""
+    import jax
+
+    cfg = engine.cfg
+    lr = jnp.asarray(cfg.lr_at_epoch(0))
+    data = engine._resident(train=True)
+    assert data is not None
+    state = jax.tree.map(jnp.copy, engine.state)
+    sums = None
+    metrics = None
+    buf = []
+    n = 0
+    t0 = None
+    for idx in _cycle_idx(engine):
+        buf.append(idx)
+        if len(buf) < k:
+            continue
+        plans = [engine._pad_idx(i) for i in buf]
+        buf = []
+        if k == 1:
+            fed = jax.device_put(plans[0], engine._batch_sharding)
+        else:
+            ws = (None if plans[0][1] is None
+                  else np.stack([w for _, w in plans]))
+            fed = jax.device_put(
+                (np.stack([i for i, _ in plans]), ws),
+                engine._scan_batch_sharding,
+            )
+        if sums is None:
+            b = fed[0].shape[-1]
+            sums = engine._metric_zeros(
+                "combined",
+                lambda: jax.eval_shape(
+                    engine.steps.combined_step, state, engine.base_key, lr,
+                    engine._sds_batch(data, b, fed[1]), jnp.asarray(True),
+                )[1],
+            )
+        if k == 1:
+            state, metrics, vis, sums = engine._jit_combined_acc_dev(
+                state, engine.base_key, np.asarray([0, n], np.int32), lr,
+                data, fed[0], fed[1], sums,
+            )
+        else:
+            its = jnp.asarray(np.arange(n * k, (n + 1) * k, dtype=np.int32))
+            state, metrics, vis, sums = engine._jit_combined_scan_dev(
+                state, engine.base_key, np.int32(0), its, lr,
+                data, fed[0], fed[1], sums,
+            )
+        if n == 0:
+            jax.block_until_ready(metrics["loss"])
+            t0 = time.time()
+            n += 1
+            continue
+        n += 1
+        if n * k >= iters:
+            break
+    jax.block_until_ready(metrics["loss"])
+    return (time.time() - t0) / max((n - 1) * k, 1) * 1e3
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=800)
@@ -213,6 +282,13 @@ def main() -> None:
     loop_k_ms = measure_loop_scan(engine_k, args.iters)
     print(f"epoch loop K={args.k}: {loop_k_ms:7.2f} ms/step "
           f"({1e3 / loop_k_ms:7.1f} steps/s)", flush=True)
+
+    dev_ms = measure_loop_dev(engine, args.iters, k=1)
+    print(f"device-resident K=1: {dev_ms:7.2f} ms/step "
+          f"({1e3 / dev_ms:7.1f} steps/s)", flush=True)
+    dev_k_ms = measure_loop_dev(engine_k, args.iters, k=args.k)
+    print(f"device-resident K={args.k}: {dev_k_ms:7.2f} ms/step "
+          f"({1e3 / dev_k_ms:7.1f} steps/s)", flush=True)
 
 
 def dataclasses_replace(cfg: EngineConfig, k: int) -> EngineConfig:

@@ -122,8 +122,20 @@ def main() -> None:
     )
     engine = Engine(cfg)
 
+    ckpt_path = (
+        os.path.join(cfg.model_dir, rstate["run_name"], "model_-1")
+        if rstate["run_name"] else None
+    )
+    if resume and ckpt_path and not os.path.exists(ckpt_path):
+        # crashed inside the first --save_every window: no checkpoint yet,
+        # restart the run from scratch (trajectory resets with it)
+        print(f"[recipe] no checkpoint at {ckpt_path}; restarting fresh",
+              flush=True)
+        resume = False
+        rstate = {"next_epoch": 0, "trajectory": [], "run_name": None,
+                  "train_secs": 0.0}
     if resume and rstate["run_name"]:
-        path = os.path.join(cfg.model_dir, rstate["run_name"], "model_-1")
+        path = ckpt_path
         engine.load_checkpoint(path)  # full state incl. optimizer
         engine.starting_epoch = rstate["next_epoch"]
         # keep logging into the original run dir
