@@ -866,20 +866,24 @@ class Engine:
     def _dump_train_images(self, epoch: int, it: int, vis: dict) -> None:
         """Real + synthetic result grids (reference engine.py:386-434)."""
         try:
+            # hstack needs equal grid heights: cap all three panels to the
+            # smaller of 6 / real rows / synt rows (tiny-batch runs).
+            n = min(6, vis["synt_dms"].shape[0],
+                    int(np.prod(vis["real_dms"].shape[:-2])))
             real = viz.result_grid(
-                np.asarray(vis["real_dms"]).reshape(-1, 64, 64)[:6],
-                np.asarray(vis["real_uv_hms"]).reshape(-1, 41, 16, 16)[:6],
-                np.asarray(vis["real_xyz"]).reshape(-1, 41, 3)[:6],
+                np.asarray(vis["real_dms"]).reshape(-1, 64, 64)[:n],
+                np.asarray(vis["real_uv_hms"]).reshape(-1, 41, 16, 16)[:n],
+                np.asarray(vis["real_xyz"]).reshape(-1, 41, 3)[:n],
             )
             synt = viz.result_grid(
-                np.asarray(vis["synt_dms"])[:6],
-                np.asarray(vis["synt_uv_hms"])[:6],
-                np.asarray(vis["synt_xyz"])[:6],
+                np.asarray(vis["synt_dms"])[:n],
+                np.asarray(vis["synt_uv_hms"])[:n],
+                np.asarray(vis["synt_xyz"])[:n],
             )
             gt = viz.result_grid(
-                np.asarray(vis["synt_dms"])[:6],
-                np.asarray(vis["synt_gt_uv_hms"])[:6],
-                np.asarray(vis["synt_gt_xyz"])[:6],
+                np.asarray(vis["synt_dms"])[:n],
+                np.asarray(vis["synt_gt_uv_hms"])[:n],
+                np.asarray(vis["synt_gt_xyz"])[:n],
             )
             img = np.hstack([real, synt, gt])
             viz.save_image(
