@@ -165,9 +165,11 @@ class HourglassNet(nn.Module):
             score = TorchConv(
                 self.num_outputs, (1, 1), dtype=dt, precision=p, name=f"score{i}"
             )(y)
-            # heads and everything downstream (soft-argmax, losses) stay f32
-            scores.append(score.astype(jnp.float32))
-            latents.append(latent.astype(jnp.float32))
+            # heads and everything downstream (soft-argmax, losses) run at
+            # >= f32: upcast bf16 activations, keep f64 (A/B oracle) intact
+            head_dt = jnp.result_type(score.dtype, jnp.float32)
+            scores.append(score.astype(head_dt))
+            latents.append(latent.astype(head_dt))
             if i < self.num_stacks - 1:
                 fc_ = TorchConv(
                     ch, (1, 1), dtype=dt, precision=p, name=f"inter_fc{i}"
