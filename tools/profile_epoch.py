@@ -52,6 +52,10 @@ def _ensure_data(data_dir: str, samples: int) -> None:
     generate_pseudo_nyu(train_dir, samples, seed=0)
 
 
+# Dispatches burned per program before any clock starts (see measure_step).
+WARM_DISPATCHES = 24
+
+
 def _cycle(engine: Engine):
     """Endless batch stream (the profiling set is smaller than an epoch)."""
     while True:
@@ -86,15 +90,24 @@ def measure_step(engine: Engine, iters: int) -> float:
     )
     # donate_argnums would invalidate the engine's copy for later measures
     state = jax.tree.map(jnp.copy, engine.state)
-    # warm the program
-    state, metrics, vis, sums = engine._jit_combined_acc(
-        state, engine.base_key, np.asarray([0, 0], np.int32), lr, batch, sums
-    )
+    # Warm the program PAST the one-time early-dispatch stall: the tunneled
+    # TPU plugin pays a ~40-95 s hidden hitch on an early dispatch of each
+    # distinct program (measured round 4, /tmp/step_diag*: one 44-72 s
+    # submit inside the first ~20 dispatches, then steady ~3 ms submits at
+    # ~9-13 ms/step). One warm call does NOT absorb it, so every rate this
+    # tool ever printed without this burn-in was a stall amortization, not
+    # a throughput. Burn WARM_DISPATCHES dispatches before the clock.
+    for it in range(WARM_DISPATCHES):
+        state, metrics, vis, sums = engine._jit_combined_acc(
+            state, engine.base_key, np.asarray([0, it], np.int32), lr, batch,
+            sums,
+        )
     jax.block_until_ready(metrics["loss"])
     t0 = time.time()
     for it in range(iters):
         state, metrics, vis, sums = engine._jit_combined_acc(
-            state, engine.base_key, np.asarray([0, it + 1], np.int32), lr,
+            state, engine.base_key,
+            np.asarray([0, WARM_DISPATCHES + it], np.int32), lr,
             batch, sums,
         )
     jax.block_until_ready(metrics["loss"])
@@ -125,9 +138,10 @@ def measure_loop(engine: Engine, iters: int) -> float:
             state, engine.base_key, np.asarray([0, it], np.int32), lr, batch,
             sums,
         )
-        if it == 0:  # exclude compile/warmup
-            jax.block_until_ready(metrics["loss"])
-            t0 = time.time()
+        if it < WARM_DISPATCHES:  # exclude compile + early-dispatch stall
+            if it == WARM_DISPATCHES - 1:
+                jax.block_until_ready(metrics["loss"])
+                t0 = time.time()
             continue
         n += 1
         if n >= iters:
@@ -169,16 +183,18 @@ def measure_loop_scan(engine: Engine, iters: int) -> float:
         state, metrics, vis, sums = engine._jit_combined_scan(
             state, engine.base_key, np.int32(0), its, lr, batches, sums,
         )
-        if n == 0:
-            jax.block_until_ready(metrics["loss"])
-            t0 = time.time()
+        warm = max(WARM_DISPATCHES // K, 1)
+        if n < warm:  # exclude compile + early-dispatch stall
+            if n == warm - 1:
+                jax.block_until_ready(metrics["loss"])
+                t0 = time.time()
             n += 1
             continue
         n += 1
-        if n * K >= iters:
+        if (n - warm) * K >= iters:
             break
     jax.block_until_ready(metrics["loss"])
-    return (time.time() - t0) / max((n - 1) * K, 1) * 1e3
+    return (time.time() - t0) / max((n - warm) * K, 1) * 1e3
 
 
 def _cycle_idx(engine: Engine):
@@ -238,16 +254,18 @@ def measure_loop_dev(engine: Engine, iters: int, k: int = 1) -> float:
                 state, engine.base_key, np.int32(0), its, lr,
                 data, fed[0], fed[1], sums,
             )
-        if n == 0:
-            jax.block_until_ready(metrics["loss"])
-            t0 = time.time()
+        warm = max(WARM_DISPATCHES // k, 1)
+        if n < warm:  # exclude compile + early-dispatch stall
+            if n == warm - 1:
+                jax.block_until_ready(metrics["loss"])
+                t0 = time.time()
             n += 1
             continue
         n += 1
-        if n * k >= iters:
+        if (n - warm) * k >= iters:
             break
     jax.block_until_ready(metrics["loss"])
-    return (time.time() - t0) / max((n - 1) * k, 1) * 1e3
+    return (time.time() - t0) / max((n - warm) * k, 1) * 1e3
 
 
 def main() -> None:
