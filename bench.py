@@ -68,6 +68,27 @@ def main() -> None:
     train_sps = measure_combined_steps_per_sec()
     train_sps_bf16 = measure_combined_steps_per_sec(bf16=True)
 
+    # The ENGINE's real epoch rate through the production data path
+    # (device-resident split, batches gathered inside the jit; PERF.md
+    # round-4 epoch profiling). Guarded: bench must still print its line
+    # if the pseudo-NYU fixture cannot be (re)built in this environment.
+    epoch_sps = None
+    try:
+        from profile_epoch import _ensure_data, measure_loop_dev
+
+        from spherehand_tpu.train.config import EngineConfig
+        from spherehand_tpu.train.engine import Engine
+
+        data_dir = "/tmp/epoch_profile_data"
+        _ensure_data(data_dir, 800)
+        engine = Engine(EngineConfig(
+            mode="Train", dataset_dir=data_dir,
+            model_dir="/tmp/epoch_profile_runs",
+        ))
+        epoch_sps = 1e3 / measure_loop_dev(engine, 200, k=1)
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] epoch-rate measure skipped: {exc!r}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -88,6 +109,13 @@ def main() -> None:
                 # to f32 at the 75k-step scale — PERF.md round 3).
                 "train_combined_bf16_steps_per_sec": round(
                     float(train_sps_bf16), 2
+                ),
+                # The engine's true epoch rate (device-resident K=1 path,
+                # the production default) — None if the fixture was
+                # unavailable. At device rate this meets/beats the
+                # fixed-batch dispatch number above (PERF.md round 4).
+                "train_epoch_steps_per_sec": (
+                    round(float(epoch_sps), 2) if epoch_sps else None
                 ),
                 "batch": BATCH,
             }
