@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import traceback
 
 TARGET_FPS = 50_000.0
 BATCH = 1024
@@ -87,7 +88,10 @@ def main() -> None:
         ))
         epoch_sps = 1e3 / measure_loop_dev(engine, 200, k=1)
     except Exception as exc:  # noqa: BLE001
+        # Full traceback: a regression in the production device-data path
+        # must be distinguishable from a merely missing fixture (ADVICE r4).
         print(f"[bench] epoch-rate measure skipped: {exc!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
 
     print(
         json.dumps(

@@ -331,6 +331,17 @@ class NyuDataset:
             [self.joint_poses[s][i] for s, i in zip(shard_ids, local)]
         )
 
+    def gather_dms(self, indices: np.ndarray) -> np.ndarray:
+        """Depth-maps-only fetch (B, V, 64, 64) — for the eval image dump on
+        the device-resident path, where joints were already fetched via
+        gather_joints for the same indices (no redundant full-record IO)."""
+        indices = np.asarray(indices)
+        shard_ids = np.searchsorted(self.offsets, indices, side="right") - 1
+        local = indices - self.offsets[shard_ids]
+        return np.stack(
+            [np.asarray(self.dms[s][i]) for s, i in zip(shard_ids, local)]
+        )
+
     def gather(self, indices: np.ndarray):
         """Fetch a batch by global indices -> (dms, joints, poses, inv_poses)."""
         shard_ids = np.searchsorted(self.offsets, indices, side="right") - 1

@@ -391,12 +391,20 @@ class Engine:
             a.nbytes for a in ds.joint_poses + ds.camera_poses
             + ds.inv_camera_poses
         )
-        if cfg.device_data == "auto" and nbytes > cfg.device_data_max_gb * 2**30:
-            setattr(self, cache, {})
-            print(f"[engine] device_data auto: split is "
-                  f"{nbytes / 2**30:.1f} GiB > {cfg.device_data_max_gb} GiB "
-                  f"cap, using the host loader")
-            return None
+        if nbytes > cfg.device_data_max_gb * 2**30:
+            if cfg.device_data == "auto":
+                setattr(self, cache, {})
+                print(f"[engine] device_data auto: split is "
+                      f"{nbytes / 2**30:.1f} GiB > {cfg.device_data_max_gb} GiB "
+                      f"cap, using the host loader")
+                return None
+            # Explicit 'on': proceed, but make a mid-upload device OOM
+            # attributable to the split size rather than opaque (ADVICE r4).
+            print(f"[engine] device_data on: split is "
+                  f"{nbytes / 2**30:.1f} GiB > the {cfg.device_data_max_gb} "
+                  f"GiB auto cap — uploading anyway (replicated per device; "
+                  f"a device OOM during the shard concat means this split "
+                  f"does not fit)")
         # Shard-by-shard upload + on-device concat bounds host RAM at one
         # shard; peak device memory is 2x the split during the concat.
         def up(parts):
@@ -922,7 +930,7 @@ class Engine:
             all_gt.append(gt[:n_real, 0])
             all_est.append(np.asarray(denoised)[:n_real])
             if dump_images and it % 100 == 0:
-                host_dms = raw[0] if data is None else ds.gather(idx)[0]
+                host_dms = raw[0] if data is None else ds.gather_dms(idx)
                 dms = host_dms[:, 0] * _C.depth_scale
                 img = viz.result_grid(
                     dms,

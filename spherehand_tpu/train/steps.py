@@ -52,6 +52,7 @@ class StepFns(NamedTuple):
     synt_step: Any           # (state, key, lr) -> (state, metrics)
     combined_step: Any       # (state, key, lr, batch, is_mv) -> (state, metrics, vis)
     combined_grads: Any      # (state, key, batch, is_mv) -> (loss, grads)
+    combined_term_diag: Any  # (state, key, batch, is_mv) -> flat diag dict
     real_step: Any           # (state, key, lr, batch) -> (state, metrics, vis)
     eval_step: Any           # (params, key, batch) -> metrics dict
     network: Any
@@ -259,6 +260,95 @@ def build_steps(
         )
         return loss, grads
 
+    def combined_term_diag(
+        state: TrainState, key: jax.Array, batch: RealBatch,
+        is_mv: jnp.ndarray,
+    ) -> dict:
+        """Per-term gradient attribution of the combined objective.
+
+        One forward + one ``jax.vjp``; each loss term's parameter gradient is
+        then a single backward pass with a one-hot cotangent over the terms
+        dict, so T terms cost T backwards off a shared forward. Returns a
+        flat dict of scalars per term: ``<term>/value`` (unweighted-sum loss
+        value as logged), ``<term>/grad_norm`` (global L2 norm of that term's
+        parameter gradient alone) and ``<term>/cos_total`` (cosine between
+        the term's gradient and the total gradient — negative means the term
+        fights the net update direction), plus ``total_grad_norm``,
+        ``update_norm`` (the Adam step direction's global norm at the current
+        optimizer state; the applied step is lr x this) and ``param_norm``.
+
+        Built for the stock-recipe divergence study (PERF.md round 5): the
+        reference's hot loop (network/engine.py:318-436) never attributes its
+        gradient, so when its stock lr diverges on a shifted domain nothing
+        says which of the 9 terms is responsible. This does.
+        """
+        k_pose, k_synt, k_rs, k_aug, k_prior = jax.random.split(key, 5)
+        pose_params = sample_poses(k_pose, synt_total)
+        synt = _shard_synt(synthesize(hand, k_synt, pose_params))
+        synt_w = _synt_weights()
+        scaled_real = batch.dms * _C.depth_scale
+        if cfg.depth_resample:
+            k_rs2, k_rs = jax.random.split(k_rs)
+            flat = scaled_real.reshape(-1, 64, 64)
+            scaled_real = depth_resample(
+                k_rs2, flat, 0.95, cfg.depth_resample
+            ).reshape(scaled_real.shape)
+            synt = synt._replace(dms=_maybe_resample(k_rs, synt.dms))
+        real_target = {
+            "real_dms": batch.dms,
+            "camera_poses": batch.poses,
+            "inv_camera_poses": batch.inv_poses,
+        }
+
+        def terms_fn(params):
+            out = forward(
+                network, params, synt_dms=synt.dms, real_dms=scaled_real,
+                rng=k_aug, train=True,
+            )
+            terms, _, _ = multitask_loss(
+                loss_cfg, out, radii, vae_params=vae_params,
+                synt_target=synt, real_target=real_target, rng=k_prior,
+                is_mv=is_mv, prev_skel=state.prev_skel,
+                has_prev=state.has_prev, real_weights=batch.weights,
+                synt_weights=synt_w,
+            )
+            return terms
+
+        terms, vjp_fn = jax.vjp(terms_fn, state.params)
+        names = sorted(terms)
+
+        def flat(tree):
+            return jnp.concatenate(
+                [jnp.ravel(x).astype(jnp.float32) for x in jax.tree.leaves(tree)]
+            )
+
+        term_grads = {}
+        for name in names:
+            cot = {
+                n: jnp.asarray(1.0 if n == name else 0.0, terms[n].dtype)
+                for n in names
+            }
+            (g,) = vjp_fn(cot)
+            term_grads[name] = flat(g)
+        total = sum(term_grads.values())
+        total_norm = jnp.linalg.norm(total)
+        diag = {"total_grad_norm": total_norm}
+        for name in names:
+            g = term_grads[name]
+            n = jnp.linalg.norm(g)
+            diag[f"{name}/value"] = terms[name]
+            diag[f"{name}/grad_norm"] = n
+            diag[f"{name}/cos_total"] = jnp.dot(g, total) / (
+                n * total_norm + 1e-30
+            )
+        # Adam direction at the current optimizer state: rebuild the total
+        # gradient as a pytree with one more backward (all-ones cotangent).
+        (tg,) = vjp_fn({n: jnp.asarray(1.0, terms[n].dtype) for n in names})
+        updates, _ = tx.update(tg, state.opt_state, state.params)
+        diag["update_norm"] = optax.global_norm(updates)
+        diag["param_norm"] = optax.global_norm(state.params)
+        return diag
+
     def combined_step(
         state: TrainState,
         key: jax.Array,
@@ -384,6 +474,7 @@ def build_steps(
         synt_step=synt_step,
         combined_step=combined_step,
         combined_grads=combined_grads,
+        combined_term_diag=combined_term_diag,
         real_step=real_step,
         eval_step=eval_step,
         network=network,
