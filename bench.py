@@ -41,6 +41,45 @@ BATCH = 1024
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
 
 
+def dispatch_health() -> dict:
+    """Measurement-window health probe (CLAUDE.md dispatch-weather hazard).
+
+    The tunneled TPU's per-dispatch latency and download bandwidth each
+    degrade independently by multi-hour epochs; numbers taken in a bad
+    window are garbage. Recording both alongside the bench lets a reviewer
+    trust or discount BENCH_rNN.json without archaeology. Healthy
+    references (PERF.md round 4): serialized dispatch RTT ~55 ms,
+    device_get of 4 MB well under a second. Scan-measured throughputs
+    (every fps/steps-per-sec number here) are insulated by design; the
+    epoch-rate numbers depend on dispatch health.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x * 1.0001 + 1.0)
+    x = jnp.ones((8, 128))
+    for _ in range(10):  # compile + warm past the early-dispatch stall
+        x = f(x)
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    n = 20
+    y = jnp.ones((8, 128))
+    for _ in range(n):
+        f(y).block_until_ready()
+    rtt_ms = (time.perf_counter() - t0) / n * 1e3
+    big = jnp.ones((1024 * 1024,))  # 4 MB
+    big.block_until_ready()
+    t0 = time.perf_counter()
+    jax.device_get(big)
+    mbps = 4.0 / max(time.perf_counter() - t0, 1e-9)
+    return {
+        "health_dispatch_rtt_ms": round(rtt_ms, 2),
+        "health_device_get_mbps": round(mbps, 2),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -49,6 +88,8 @@ def main() -> None:
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    health = dispatch_health()
 
     from bench_lite import measure_render_fps
 
@@ -73,7 +114,7 @@ def main() -> None:
     # (device-resident split, batches gathered inside the jit; PERF.md
     # round-4 epoch profiling). Guarded: bench must still print its line
     # if the pseudo-NYU fixture cannot be (re)built in this environment.
-    epoch_sps = None
+    epoch_sps = epoch_sps_bf16 = None
     try:
         from profile_epoch import _ensure_data, measure_loop_dev
 
@@ -87,6 +128,13 @@ def main() -> None:
             model_dir="/tmp/epoch_profile_runs",
         ))
         epoch_sps = 1e3 / measure_loop_dev(engine, 200, k=1)
+        # The recommended production training dtype's epoch rate
+        # (README "bf16 is the recommended dtype" — VERDICT r4 item 2).
+        engine_bf16 = Engine(EngineConfig(
+            mode="Train", dataset_dir=data_dir,
+            model_dir="/tmp/epoch_profile_runs", bf16=True,
+        ))
+        epoch_sps_bf16 = 1e3 / measure_loop_dev(engine_bf16, 200, k=1)
     except Exception as exc:  # noqa: BLE001
         # Full traceback: a regression in the production device-data path
         # must be distinguishable from a merely missing fixture (ADVICE r4).
@@ -121,7 +169,14 @@ def main() -> None:
                 "train_epoch_steps_per_sec": (
                     round(float(epoch_sps), 2) if epoch_sps else None
                 ),
+                "train_epoch_bf16_steps_per_sec": (
+                    round(float(epoch_sps_bf16), 2) if epoch_sps_bf16 else None
+                ),
                 "batch": BATCH,
+                # Measurement-window health (see dispatch_health docstring):
+                # healthy ~55 ms RTT / fast device_get; epoch-rate keys are
+                # dispatch-sensitive, scan-measured keys are not.
+                **health,
             }
         )
     )

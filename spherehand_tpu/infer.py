@@ -49,7 +49,12 @@ class PoseEstimator:
     precision: conv pass precision. ``None`` = backend default (TPU: bf16
         passes, fastest, with the batch-composition dependence above);
         ``"highest"`` = true-f32 passes, batch-invariant parity-grade
-        outputs (~3x conv cost; used by tools/parity_eval.py).
+        outputs (used by tools/parity_eval.py). Cost: the conv passes
+        alone are ~3x FLOPs in theory, but the forward pipeline is not
+        conv-bound at serving batches — measured device cost is +11% at
+        B=128 and +45% at a monolithic B=1024 program
+        (tests/goldens/precision_wobble.json, scan-timed on-chip), so
+        parity mode is cheap where it matters.
     """
 
     def __init__(self, params: Any, num_stacks: int = 1, denoise: bool = True,

@@ -49,7 +49,9 @@ def make_network(num_stacks: int, dtype=None, precision=None) -> HourglassNet:
     precision: conv pass precision. TPU's default for f32 convs is bf16
     passes — fast, but per-sample outputs depend on batch composition by up
     to ~5 mm on ambiguous samples (infer.py). ``"highest"`` forces true-f32
-    passes: parity-grade determinism for eval at ~3x the conv cost.
+    passes: parity-grade determinism for eval at +11% measured device cost
+    at B=128 (the pipeline is not conv-bound there; +45% at a monolithic
+    B=1024 — tests/goldens/precision_wobble.json).
     """
     import jax.numpy as jnp
 

@@ -57,8 +57,10 @@ class EngineConfig:
     # pass precision. TPU's default f32 convs run bf16 passes, making
     # per-sample outputs depend on batch composition (up to ~5 mm on
     # ambiguous samples — infer.py); "highest" forces true-f32 passes so
-    # eval numbers are batch-invariant (the parity-grade mode, ~3x conv
-    # cost at eval only). Train steps are unaffected either way.
+    # eval numbers are batch-invariant (the parity-grade mode; measured
+    # +11% device time at B=128 — the eval pipeline is not conv-bound —
+    # tests/goldens/precision_wobble.json). Train steps are unaffected
+    # either way.
     steps_per_call: int = 1  # combined-epoch steps scanned per dispatch;
     # K>1 stacks K real batches and lax.scans the step K times inside one
     # jitted call (same keys/batches/curriculum as K=1) — robust to high

@@ -34,3 +34,9 @@ def test_precision_wobble_artifact():
     # micrometer-level differences only.
     assert art["highest"]["max_mm"] < 0.01
     assert art["highest"]["p99_mm"] < 0.001
+    # The measured cost of parity mode (scan-timed device forwards): the
+    # pipeline is NOT conv-bound at B=128, so "highest" is nowhere near the
+    # naive ~3x conv-FLOP multiplier there (docs reconciled in round 5).
+    if "highest_cost_ratio_b128" in art:
+        assert 1.0 <= art["highest_cost_ratio_b128"] < 1.5
+        assert 1.0 <= art["highest_cost_ratio_b1024"] < 2.5

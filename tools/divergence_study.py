@@ -302,7 +302,8 @@ def main() -> None:
             ))
 
     # C: term ablations at stock lr
-    for term in ("mv_projection", "mv_consistency", "prior"):
+    for term in ("mv_projection", "mv_consistency", "prior", "collision",
+                 "bone_length"):
         name = f"no_{term}"
         if not done(name):
             record(run_standard_probe(

@@ -47,7 +47,8 @@ def main():
     template = steps.init_state(jax.random.key(0))
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(os.path.abspath(ckpt), template)
-    network = make_network(1)
+    # Parity-grade eval passes: batch-invariant outputs (VERDICT r4 item 3).
+    network = make_network(1, precision="highest")
 
     @jax.jit
     def eval_batch(params, key):

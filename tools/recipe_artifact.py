@@ -67,6 +67,18 @@ def main() -> None:
         "companion": _load_run(args.companion),
         "provenance": "tools/reference_recipe.py; see PERF.md round-4 "
                       "'reference recipe at reference scale'",
+        # These runs evaluated at eval_precision="default" (bf16 conv
+        # passes): per-sample outputs carry a batch-composition wobble
+        # bounded by tests/goldens/precision_wobble.json (mean 0.06 mm,
+        # p99 0.34 mm, max 1.75 mm) — immaterial for the 10-mm-scale
+        # trajectory conclusions asserted on this artifact. Runs from
+        # round 5 on use the parity-grade mode (reference_recipe.py now
+        # pins eval_precision="highest").
+        "eval_precision_note": {
+            "eval_precision": "default",
+            "wobble_bound_mm": {"mean": 0.06, "p99": 0.34, "max": 1.75},
+            "bound_source": "tests/goldens/precision_wobble.json",
+        },
     }
     with open(args.out, "w") as f:
         json.dump(art, f, indent=1)

@@ -117,6 +117,12 @@ def main() -> None:
         lr=args.lr,
         bf16=args.bf16,
         steps_per_call=args.steps_per_call,
+        # Parity-grade eval: batch-invariant true-f32 conv passes. The
+        # round-4 at-scale artifact was captured at eval_precision="default"
+        # (wobble bound: mean 0.06 mm / max 1.75 mm — immaterial for its
+        # 10-mm-scale conclusions, and annotated as such in the golden);
+        # runs from round 5 on carry no wobble at all.
+        eval_precision="highest",
         tag=args.tag,
         seed=args.seed,
     )

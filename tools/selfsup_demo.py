@@ -292,6 +292,10 @@ def main() -> None:
         synthesize=(args.adapt == "combined"),
         mv_projection=not args.no_mv,
         mv_consistency=not args.no_mv,
+        # Parity-grade eval: batch-invariant true-f32 conv passes, so the
+        # artifact numbers carry no bf16 batch-composition wobble
+        # (tests/goldens/precision_wobble.json; VERDICT r4 item 3).
+        eval_precision="highest",
         tag="selfsup_",
     )
     engine = Engine(cfg)
