@@ -323,22 +323,24 @@ def main() -> None:
     stock = study["probes"].get("stock_instrumented", {})
     diag_summary = summarize_diag(stock.get("diag", []))
 
-    def final_mm(name):
+    def traj_mm(name):
         p = study["probes"].get(name)
-        return p["trajectory"][-1]["mm"] if p else None
+        return [e["mm"] for e in p["trajectory"]] if p else None
 
-    def before_mm(name):
-        p = study["probes"].get(name)
-        return p["trajectory"][0]["mm"] if p else None
-
-    def collapsed(name, margin=5.0):
-        f, b = final_mm(name), before_mm(name)
-        return None if f is None else bool(f > b + margin)
+    def collapse_row(name, margin=5.0):
+        t = traj_mm(name)
+        if not t:
+            return None
+        return {
+            "before_mm": t[0],
+            "final_mm": t[-1],
+            "trajectory_mm": t,
+            "collapsed": bool(t[-1] > t[0] + margin),
+        }
 
     probes_named = sorted(study["probes"])
     conclusions = {
-        "collapse": {n: {"before_mm": before_mm(n), "final_mm": final_mm(n),
-                         "collapsed": collapsed(n)} for n in probes_named},
+        "collapse": {n: collapse_row(n) for n in probes_named},
         "diag_summary": diag_summary,
     }
     study["conclusions"] = conclusions
