@@ -768,6 +768,7 @@ def _raster_kernel_exact(
     chunk: int,
     smem_blocks: bool,
     bin_rows: bool,
+    stub: bool | str = False,
 ):
     lanes = quad * TILE_S * TILE_S
     if smem_blocks:
@@ -791,6 +792,26 @@ def _raster_kernel_exact(
 
                 def col(k):
                     return f[:, k][:, None]
+
+                if stub == "min":
+                    # diagnostic: identical loops/reads, compute removed
+                    return jnp.minimum(zbuf, _fold8(col(0) + x, chunk))
+                elif stub == "cols":
+                    # diagnostic: all 23 field loads/broadcasts + the six
+                    # affine evaluations (3 scanline edges + 3 barycentric
+                    # planes), but none of the span tail (selects,
+                    # ceil/trunc, clips, compares, divide, isnan)
+                    s = (
+                        col(6) * (x - col(0)) + col(3)
+                        + col(7) * (x - col(1)) + col(4)
+                        + col(8) * (x - col(0)) + col(3)
+                        + (col(14) * x + col(15) * y + col(16))
+                        + (col(17) * x + col(18) * y + col(19))
+                        + (col(20) * x + col(21) * y + col(22))
+                        + col(2) + col(5) + col(9) + col(10)
+                        + col(11) + col(12) + col(13)
+                    )
+                    return jnp.minimum(zbuf, _fold8(s, chunk))
 
                 p0x, p1x = col(0), col(1)
                 vert01, vert12 = col(9) > 0.5, col(10) > 0.5
@@ -1278,6 +1299,7 @@ def rasterize_depth_binned(
             chunk=chunk,
             smem_blocks=smem_blocks,
             bin_rows=bin_rows,
+            stub=_diag_stub,
         )
     elif paired:
         kernel = functools.partial(

@@ -6,7 +6,12 @@ per-chunk coverage/depth math reduced to a single column add + min). The
 difference isolates the VPU compute share and tells the next optimization
 round where the ceiling is.
 
-Usage: python tools/diag_kernel.py [batch=512]
+Usage: python tools/diag_kernel.py [batch=512] [exact]
+
+With ``exact`` the same decomposition runs on the parity-mode kernel
+(``_raster_kernel_exact``): "cols" keeps all 23 field loads + the six affine
+evaluations; the remainder is the span tail (selects, ceil/trunc, clips,
+compares, the true division).
 """
 from __future__ import annotations
 
@@ -36,6 +41,7 @@ from spherehand_tpu.render.raster_pallas import rasterize_depth_binned
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    exact = len(sys.argv) > 2 and sys.argv[2] not in ("0", "false", "fast")
     model = load_hand_model()
     samples = jnp.asarray(bilinear_sample_positions(64, 10))
 
@@ -56,7 +62,7 @@ def main():
         """Per-call device time of the Pallas op, from a profiler trace
         (wall timing through the execution relay is unreliable)."""
         fn = functools.partial(
-            rasterize_depth_binned, exact=False, valid_frac=0.62,
+            rasterize_depth_binned, exact=exact, valid_frac=0.62,
             pool_clamp=100.0, bilinear_grid=(64, 10), _diag_stub=stub,
         )
         jax.block_until_ready(fn(fvs[0], samples, samples))

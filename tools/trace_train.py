@@ -3,7 +3,7 @@
 Same setup as tools/profile_train.measure_combined_steps_per_sec; traces a
 few iterations so tools/parse_trace.py can split device time per op.
 
-Usage: python tools/trace_train.py [outdir=/tmp/tr_train]
+Usage: python tools/trace_train.py [outdir=/tmp/tr_train] [bf16]
 """
 from __future__ import annotations
 
@@ -31,7 +31,8 @@ from spherehand_tpu.train.steps import build_steps
 
 def main() -> None:
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tr_train"
-    cfg = EngineConfig(synt_batch=48, real_batch=25, num_stacks=1)
+    bf16 = "bf16" in sys.argv[2:]
+    cfg = EngineConfig(synt_batch=48, real_batch=25, num_stacks=1, bf16=bf16)
     steps = build_steps(cfg, load_hand_model())
     state = steps.init_state(jax.random.key(0))
     batch = _fake_real_batch(25)
