@@ -31,7 +31,7 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def measure_render_fps(model, batch: int, exact: bool, iters: int = 20,
+def measure_render_fps(model, batch: int, exact: bool, iters: int = 50,
                        repeats: int = 3, chunk: int | None = None,
                        diag: tuple = ()) -> float:
     """Frames/sec of the full synthesis render path on the default device.
@@ -42,7 +42,13 @@ def measure_render_fps(model, batch: int, exact: bool, iters: int = 20,
     is volatile (ms to seconds), so per-call timing measures the tunnel,
     not the chip. Best of ``repeats`` dispatches sheds one-off hiccups.
     A scalar reduction of every frame is carried so no iteration can be
-    elided."""
+    elided.
+
+    iters=50: at 20 the one ~26-40 ms tunnel RTT per dispatch was still a
+    5-8% haircut on every key vs the device-trace rate (the reason
+    BENCH_rNN numbers always read lowest among the artifacts — VERDICT r4);
+    50 amortizes it below ~3% while keeping a repeat under a second. The
+    device rate itself is unchanged (PERF.md round 5)."""
     import jax.numpy as jnp
 
     from spherehand_tpu.data.sampler import sample_poses
