@@ -55,14 +55,28 @@ class PoseEstimator:
         B=128 and +45% at a monolithic B=1024 program
         (tests/goldens/precision_wobble.json, scan-timed on-chip), so
         parity mode is cheap where it matters.
+    mesh: optional ``jax.sharding.Mesh`` (e.g. ``parallel.mesh.data_mesh()``)
+        to serve data-parallel: the batch is sharded over the mesh's
+        ``data`` axis via ``jax.shard_map`` and each device runs the
+        identical chunked predictor on its local rows — zero collectives
+        (the whole pipeline is per-sample), so throughput scales linearly
+        over ICI. Params and the denoiser are replicated. Batches are
+        padded to a device multiple on the host (pad rows dropped before
+        returning); ``serve_chunk`` applies PER DEVICE. The reference has
+        no serving path, let alone a multi-GPU one (estimation exists only
+        inside its single-GPU eval loop, network/engine.py:150-263 with
+        bare ``.cuda()`` placement, engine.py:55-87).
     """
 
     def __init__(self, params: Any, num_stacks: int = 1, denoise: bool = True,
-                 serve_chunk: int = 128, precision: Any = None):
+                 serve_chunk: int = 128, precision: Any = None,
+                 mesh: Any = None):
         self.network = make_network(num_stacks, precision=precision)
         self.params = params
         self.denoise = denoise
         self.serve_chunk = serve_chunk
+        self.mesh = mesh
+        self._batch_multiple = int(mesh.devices.size) if mesh is not None else 1
         if denoise:
             self._denoiser, self._denoiser_params = load_pose_denoiser()
 
@@ -76,8 +90,8 @@ class PoseEstimator:
             heatmaps = out.real_uv_hms[-1][:, 0]
             return joints, heatmaps
 
-        @jax.jit
-        def _predict(params, dms):
+        def _predict_local(params, dms):
+            """Chunk-scanned predictor over the (local) batch rows."""
             b = dms.shape[0]
             if b <= serve_chunk:
                 return _predict_chunk(params, dms)
@@ -94,7 +108,33 @@ class PoseEstimator:
             heatmaps = heatmaps.reshape(-1, *heatmaps.shape[2:])[:b]
             return joints, heatmaps
 
-        self._predict = _predict
+        if mesh is None:
+            self._predict = jax.jit(_predict_local)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            # Each device runs _predict_local on its own batch rows; params
+            # ride replicated. No collective is ever needed (per-sample
+            # pipeline), so the shard_map body IS the single-device program.
+            self._predict = jax.jit(
+                jax.shard_map(
+                    _predict_local,
+                    mesh=mesh,
+                    in_specs=(P(), P("data")),
+                    out_specs=P("data"),
+                )
+            )
+
+    def _pad_to_mesh(self, dms: np.ndarray) -> tuple[np.ndarray, int]:
+        """Pad the host batch to a device-count multiple (shard_map needs
+        equal local blocks); returns (padded, original_b)."""
+        b = dms.shape[0]
+        pad = (-b) % self._batch_multiple
+        if pad:
+            dms = np.concatenate(
+                [dms, np.repeat(dms[-1:], pad, axis=0)], axis=0
+            )
+        return dms, b
 
     def predict(
         self, depth_mm: np.ndarray, palm_adjust: bool = False
@@ -103,17 +143,19 @@ class PoseEstimator:
 
         Input follows the NYU crop convention (300 mm cube, orthographic).
         """
-        dms = jnp.asarray(np.asarray(depth_mm, np.float32)) * _C.depth_scale
+        host, b = self._pad_to_mesh(np.asarray(depth_mm, np.float32))
+        dms = jnp.asarray(host) * _C.depth_scale
         joints, _ = self._predict(self.params, dms)
-        joints = np.asarray(joints)
+        joints = np.asarray(joints)[:b]
         if palm_adjust:
             joints = np.stack([adjust_palm_pose(j) for j in joints])
         return joints
 
     def predict_with_heatmaps(self, depth_mm: np.ndarray):
-        dms = jnp.asarray(np.asarray(depth_mm, np.float32)) * _C.depth_scale
+        host, b = self._pad_to_mesh(np.asarray(depth_mm, np.float32))
+        dms = jnp.asarray(host) * _C.depth_scale
         joints, heatmaps = self._predict(self.params, dms)
-        return np.asarray(joints), np.asarray(heatmaps)
+        return np.asarray(joints)[:b], np.asarray(heatmaps)[:b]
 
 
 def load_params_npz(path: str) -> dict:

@@ -102,6 +102,45 @@ def test_chunked_serving_matches_monolithic():
     np.testing.assert_allclose(chunked, mono, atol=1e-4)
 
 
+def test_mesh_serving_matches_single_device():
+    """Data-parallel serving (PoseEstimator(mesh=...)) must be a pure
+    batch-split: per-sample outputs identical to the single-device
+    predictor, including the host-side padding for batches not divisible
+    by the device count and the per-device chunk scan.
+
+    Tolerance: the local conv batch shape differs between the two paths
+    (e.g. 3 rows -> 1/device vs chunks of 2), and XLA's conv reduction
+    order is shape-dependent, so even CPU f32 carries um-scale
+    reassociation noise — the same effect class as the documented TPU
+    bf16 wobble, two orders below the 0.5 mm parity bar. atol=2e-3 mm."""
+    import numpy as np
+
+    from spherehand_tpu.infer import PoseEstimator, load_params_npz
+    from spherehand_tpu.parallel.mesh import data_mesh
+
+    params = load_params_npz("assets/pretrained/synthetic_params.npz")
+    mesh = data_mesh()
+    n_dev = mesh.devices.size
+    assert n_dev > 1, "conftest should simulate an 8-device CPU mesh"
+    rng = np.random.RandomState(11)
+
+    single = PoseEstimator(params, denoise=True, serve_chunk=2)
+    sharded = PoseEstimator(params, denoise=True, serve_chunk=2, mesh=mesh)
+
+    # Non-divisible batch (padding) + per-device chunking (3 local rows
+    # pad to 2 chunks of 2), and a batch smaller than the mesh.
+    for b in (n_dev * 3 - 4, 3):
+        dms = np.full((b, 64, 64), 100.0, np.float32)
+        dms[:, 20:44, 20:44] = rng.uniform(20, 60, (b, 24, 24))
+        np.testing.assert_allclose(
+            sharded.predict(dms), single.predict(dms), atol=2e-3
+        )
+        jm, hm = sharded.predict_with_heatmaps(dms)
+        js, hs = single.predict_with_heatmaps(dms)
+        assert jm.shape == (b, 41, 3) and hm.shape == hs.shape
+        np.testing.assert_allclose(hm, hs, atol=2e-3)
+
+
 def test_precision_highest_mode():
     """precision="highest" (the parity-grade f32-pass mode) must be a pure
     numerics switch: same param tree, and on CPU — where f32 convs are
