@@ -4,8 +4,9 @@ The reference ships no equivalent — a broken CUDA build there surfaces as a
 runtime import error deep inside training (mesh/cuda_kernel/setup.py must be
 run by hand). Here one command checks every layer a new user needs: Python
 deps, bundled assets, the accelerator, the kinematics/render compute path,
-the data-parallel mesh, and the native C++ shard loader, each with a clear
-PASS/FAIL line and a nonzero exit code on failure.
+the data-parallel mesh, the serving API (mesh-sharded predict incl. the
+non-divisible-batch padding path), and the native C++ shard loader, each
+with a clear PASS/FAIL line and a nonzero exit code on failure.
 
 Usage:
     python tools/doctor.py          # on the default backend (TPU if attached)
@@ -137,6 +138,29 @@ def mesh():
     return f"Mesh{tuple(m.devices.shape)} axes {m.axis_names}, batch sharded"
 
 
+@check("serving API")
+def serving():
+    import numpy as np
+
+    from spherehand_tpu.infer import PoseEstimator, load_params_npz
+    from spherehand_tpu.parallel.mesh import data_mesh
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    params = load_params_npz(
+        os.path.join(root, "assets", "pretrained", "synthetic_params.npz")
+    )
+    mesh = data_mesh()
+    n_dev = mesh.devices.size
+    # Non-divisible batch exercises the shard_map host-side padding path.
+    dms = np.full((n_dev + 1, 64, 64), 100.0, np.float32)
+    dms[:, 24:40, 24:40] = 40.0
+    est = PoseEstimator(params, denoise=True, serve_chunk=2, mesh=mesh)
+    joints = est.predict(dms)
+    assert joints.shape == (n_dev + 1, 41, 3), joints.shape
+    assert np.isfinite(joints).all()
+    return f"predict ok: {joints.shape[0]} crops over {n_dev}-device mesh"
+
+
 @check("native shard loader")
 def native():
     from spherehand_tpu.data import native as n
@@ -159,6 +183,15 @@ def main() -> int:
         ).strip()
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Persistent compile cache (same as bench.py): repeat doctor runs on
+        # the TPU shouldn't pay the full remote-compile latency every time.
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", ".jax_cache"),
+        )
     print("spherehand_tpu doctor")
     deps()
     assets()
@@ -166,6 +199,7 @@ def main() -> int:
     render()
     train_step()
     mesh()
+    serving()
     native()
     failed = [n for n, ok, _ in _RESULTS if not ok]
     print(f"\n{len(_RESULTS) - len(failed)}/{len(_RESULTS)} checks passed"
